@@ -1,0 +1,79 @@
+"""Chord extraction: chroma features → emissions → Viterbi → segments.
+
+Capability parity with the reference's extractor (reference: backend/app/
+services/chords/extract.py:70-132). Chroma comes from the deep-chroma DNN
+(models/deepchroma.py) when weights are loaded, otherwise from the GEMM CQT
+of the harmonic component at the same 10 fps clock the reference uses.
+The decoder is the jitted constant-switch Viterbi (decode/viterbi.py),
+then beat-synchronous majority smoothing and min-length segment merging.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..decode.viterbi import viterbi_constant_switch
+from ..ops.chroma import chroma_from_cqt
+from ..ops.cqt import cqt
+from ..ops.features import rms
+from ..schemas import ChordSegment
+from .segments import beat_sync_majority, frames_to_segments
+from .templates import build_chord_library, emission_probs
+
+CHROMA_FPS = 10.0
+
+
+def chroma_features(y, sr: int, fps: float = CHROMA_FPS, harmonic_input: bool = True):
+    """[12, T] L2-normalized chroma + [T] energy at `fps` frames/sec.
+
+    `y` should already be the harmonic component when harmonic_input is True
+    (the pipeline separates it once and reuses it across stages).
+    """
+    hop = int(round(sr / fps))
+    yd = jnp.asarray(y)
+    C = cqt(yd, sr, hop=hop, n_bins=72, bins_per_octave=12, fmin=32.70319566257483)
+    chroma = chroma_from_cqt(C, bins_per_octave=12, norm=False)  # [12, T]
+    norm = jnp.linalg.norm(chroma, axis=0, keepdims=True)
+    chroma_norm = chroma / (norm + 1e-9)
+    energy = rms(yd, frame_length=2048, hop=hop)
+    n = min(chroma_norm.shape[-1], energy.shape[-1])
+    energy = energy[:n]
+    energy = energy / (jnp.max(energy) + 1e-9)
+    return chroma_norm[:, :n], energy
+
+
+def extract_chords(
+    y: np.ndarray,
+    sr: int,
+    *,
+    vocab: str = "majmin7",
+    switch_penalty: float = 2.5,
+    min_segment_sec: float = 0.25,
+    beat_times: np.ndarray | None = None,
+    deep_params=None,
+) -> tuple[np.ndarray, np.ndarray, list[ChordSegment]]:
+    """→ (chroma [12, T], times [T] s, chord segments)."""
+    if deep_params is not None:
+        from ..models.deepchroma import deep_chroma_apply
+
+        chroma_np = deep_chroma_apply(deep_params, y, sr)  # [12, T] at 10 fps
+        energy = np.clip(chroma_np.mean(axis=0), 0.0, 1.0)
+        chroma = jnp.asarray(chroma_np / (np.linalg.norm(chroma_np, axis=0, keepdims=True) + 1e-9))
+        energy = jnp.asarray(energy)
+    else:
+        chroma, energy = chroma_features(y, sr)
+
+    labels, templates = build_chord_library(vocab)
+    emissions = emission_probs(chroma, energy, labels, templates)
+    path, conf = viterbi_constant_switch(emissions, switch_penalty)
+
+    emissions_np = np.asarray(emissions)
+    path_np = np.asarray(path)
+    path_np, conf_np = beat_sync_majority(path_np, emissions_np, beat_times, CHROMA_FPS)
+
+    T = path_np.shape[0]
+    times = np.arange(T, dtype=np.float32) / CHROMA_FPS
+    segments = frames_to_segments(path_np, conf_np, times, labels, min_len=min_segment_sec)
+    return np.asarray(chroma), times, segments

@@ -1,0 +1,99 @@
+"""Benchmark harness: audio-seconds transcribed per second per chip.
+
+Runs the full pipeline (decode → harmonic → beats → pYIN/AMT → chords →
+key → quantize → export) on a synthetic 30 s musical mix on the real
+device, after a warm-up run so compile time is excluded, and prints ONE
+JSON line for the driver:
+
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against real-time (RTF): the reference's pipeline
+is CPU-bound well below real time on the Demucs path; the BASELINE.md
+north star is >30x real time for the full pipeline on one v5e chip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def make_test_audio(duration_s: float = 30.0, sr: int = 22050) -> np.ndarray:
+    """Synthetic pop-ish mix: chord pad + melody + percussive clicks."""
+    rng = np.random.default_rng(0)
+    n = int(duration_s * sr)
+    t = np.arange(n) / sr
+    y = np.zeros(n, dtype=np.float64)
+    # chord pad: G D Am C loop, 2 s each
+    chords = [(55, 59, 62), (50, 54, 57), (57, 60, 64), (48, 52, 55)]
+    for i in range(int(duration_s // 2)):
+        pitches = chords[i % 4]
+        seg = slice(int(i * 2 * sr), int(min((i + 1) * 2, duration_s) * sr))
+        ts = t[seg]
+        for p in pitches:
+            f = 440.0 * 2 ** ((p - 69) / 12)
+            y[seg] += 0.12 * np.sin(2 * np.pi * f * ts)
+    # melody: quarter notes at 120 bpm, G major scale walk
+    scale = [67, 69, 71, 72, 74, 72, 71, 69]
+    for i in range(int(duration_s * 2)):
+        p = scale[i % 8]
+        f = 440.0 * 2 ** ((p - 69) / 12)
+        a, b = int(i * 0.5 * sr), int(min((i + 1) * 0.5, duration_s) * sr)
+        ts = t[a:b] - t[a]
+        y[a:b] += 0.3 * np.sin(2 * np.pi * f * ts) * np.exp(-ts * 3)
+        y[a : a + 300] += 0.25 * rng.standard_normal(min(300, b - a))
+    y /= np.abs(y).max() + 1e-9
+    return (0.9 * y).astype(np.float32)
+
+
+def main() -> int:
+    import shutil
+    import tempfile
+
+    from audiotabs_tpu.io import write_wav
+    from audiotabs_tpu.runtime.pipeline import run_pipeline
+
+    duration = 30.0
+    sr = 22050
+    audio = make_test_audio(duration, sr)
+
+    tmp = Path(tempfile.mkdtemp(prefix="audiotabs_bench_"))
+    wav = tmp / "bench.wav"
+    write_wav(wav, audio, sr)
+
+    def run_once(tag: str) -> float:
+        job = tmp / "jobs" / tag
+        for sub in ("input", "work", "out"):
+            (job / sub).mkdir(parents=True, exist_ok=True)
+        t0 = time.perf_counter()
+        result = run_pipeline(job, wav)
+        wall = time.perf_counter() - t0
+        assert result.score is not None
+        return wall
+
+    run_once("warmup")  # compile
+    walls = [run_once(f"run{i}") for i in range(3)]
+    wall = min(walls)
+
+    audio_sec_per_sec = duration / wall
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "audio_seconds_transcribed_per_sec_per_chip",
+                "value": round(audio_sec_per_sec, 3),
+                "unit": "audio_s/s/chip",
+                "vs_baseline": round(audio_sec_per_sec / 1.0, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,46 @@
+import numpy as np
+
+import jax
+
+
+def test_mesh_construction():
+    from audiotabs_tpu.parallel import make_mesh
+
+    mesh = make_mesh((8,), ("data",))
+    assert mesh.shape == {"data": 8}
+    mesh2 = make_mesh((4, 2), ("data", "model"))
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_batch_analyze_sharded_8dev():
+    from audiotabs_tpu.parallel import batch_analyze_sharded, make_mesh
+
+    mesh = make_mesh((8,), ("data",))
+    sr = 22050
+    rng = np.random.default_rng(0)
+    t = np.arange(sr) / sr
+    batch = np.stack(
+        [0.3 * np.sin(2 * np.pi * 220 * 2 ** (i / 12.0) * t) for i in range(8)]
+    ).astype(np.float32)
+    out = batch_analyze_sharded(batch, sr, mesh=mesh)
+    jax.block_until_ready(out)
+    em = np.asarray(out["emissions"])
+    assert em.shape[0] == 8
+    assert np.isfinite(em).all()
+    # each song's emissions should be a valid distribution per frame
+    np.testing.assert_allclose(em.sum(axis=1), 1.0, atol=1e-3)
+
+
+def test_graft_entry_contract():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    em, act = out
+    assert np.isfinite(np.asarray(em)).all()
+
+    ge.dryrun_multichip(8)

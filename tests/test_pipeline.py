@@ -1,0 +1,105 @@
+import json
+
+import numpy as np
+import pytest
+
+from audiotabs_tpu.io import write_wav
+from audiotabs_tpu.schemas import JobResult
+
+
+@pytest.fixture(scope="module")
+def melody_wav(tmp_path_factory):
+    """4 s of a simple C-major melody with a click layer (quarter = 0.5 s)."""
+    sr = 22050
+    notes = [60, 62, 64, 65, 67, 65, 64, 62]  # C D E F G F E D
+    dur = 0.5
+    y = np.zeros(int(sr * len(notes) * dur), dtype=np.float32)
+    for i, pitch in enumerate(notes):
+        f = 440.0 * 2 ** ((pitch - 69) / 12)
+        t = np.arange(int(sr * dur)) / sr
+        seg = 0.4 * np.sin(2 * np.pi * f * t) * np.minimum(1, 10 * (1 - t / dur))
+        # percussive attack for the beat tracker
+        seg[:300] += 0.3 * np.random.default_rng(i).standard_normal(300).astype(np.float32)
+        y[int(i * dur * sr) : int(i * dur * sr) + len(seg)] += seg.astype(np.float32)
+    p = tmp_path_factory.mktemp("audio") / "melody.wav"
+    write_wav(p, y, sr)
+    return p
+
+
+def test_pipeline_end_to_end(melody_wav, tmp_path, monkeypatch):
+    monkeypatch.setenv("TRANSCRIPTION_MODE", "notes")
+    monkeypatch.setenv("PAD_SECONDS_BUCKET", "5")
+    from audiotabs_tpu.config import reload_settings
+
+    reload_settings()
+    from audiotabs_tpu.runtime.pipeline import run_pipeline
+
+    job_dir = tmp_path / "jobs" / "testjob1"
+    for sub in ("input", "work", "out"):
+        (job_dir / sub).mkdir(parents=True)
+    result = run_pipeline(job_dir, melody_wav)
+
+    assert isinstance(result, JobResult)
+    assert result.job_id == "testjob1"
+    assert 40 <= result.tempo_bpm <= 250
+    assert result.transcription_backend in ("pyin_melody", "basicpitch_jax")
+    assert result.score is not None and len(result.score.measures) >= 1
+
+    # note events: C major pitches present
+    pitched = [it for m in result.score.measures for it in m.items if not it.rest]
+    assert pitched, "no pitched items in score"
+
+    # artifact contract
+    out = job_dir / "out"
+    assert (out / "result.musicxml").exists()
+    assert (out / "transcription.mid").exists()
+    assert (out / "note_events.csv").exists()
+    bt = json.loads((out / "beat_times.json").read_text())
+    assert "tempo_bpm" in bt and "beat_times" in bt
+    chords = json.loads((out / "chords.json").read_text())
+    assert isinstance(chords, list)
+    prof = json.loads((out / "profile.json").read_text())
+    assert "transcription" in prof
+    assert (out / "score.ly").exists()
+
+    # musicxml parses and has a TAB part
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(out / "result.musicxml").getroot()
+    assert root.tag == "score-partwise"
+    assert len(root.findall("part")) == 2
+
+    # the transcribed pitches should be dominated by C-major scale tones
+    csv_lines = (out / "note_events.csv").read_text().strip().split("\n")[1:]
+    assert csv_lines, "empty note events"
+    pitches = [int(l.split(",")[2]) % 12 for l in csv_lines]
+    in_scale = sum(1 for p in pitches if p in (0, 2, 4, 5, 7, 9, 11))
+    assert in_scale / len(pitches) > 0.7
+
+
+def test_pipeline_accompaniment_mode(melody_wav, tmp_path, monkeypatch):
+    monkeypatch.setenv("TRANSCRIPTION_MODE", "accompaniment")
+    monkeypatch.setenv("PAD_SECONDS_BUCKET", "5")
+    from audiotabs_tpu.config import reload_settings
+
+    reload_settings()
+    from audiotabs_tpu.runtime.pipeline import run_pipeline
+
+    job_dir = tmp_path / "jobs" / "acc1"
+    for sub in ("input", "work", "out"):
+        (job_dir / sub).mkdir(parents=True)
+    result = run_pipeline(job_dir, melody_wav)
+    assert result.transcription_backend == "accompaniment+chords_viterbi"
+    assert (job_dir / "out" / "chords.json").exists()
+
+
+def test_pipeline_rejects_tiny_input(tmp_path):
+    from audiotabs_tpu.runtime.pipeline import run_pipeline
+
+    p = tmp_path / "tiny.wav"
+    write_wav(p, np.zeros(100, np.float32), 22050)
+    job_dir = tmp_path / "jobs" / "tiny"
+    for sub in ("input", "work", "out"):
+        (job_dir / sub).mkdir(parents=True)
+    with pytest.raises(ValueError):
+        run_pipeline(job_dir, p)

@@ -1,0 +1,139 @@
+import numpy as np
+
+from audiotabs_tpu.theory import (
+    chord_tone_pcs,
+    format_chord_label,
+    normalize_chord_label,
+    split_chord_label,
+)
+from audiotabs_tpu.theory.events import NoteEvent
+from audiotabs_tpu.theory.key import (
+    estimate_key_from_events,
+    estimate_key_from_pcs,
+    spell_chord_label,
+)
+from audiotabs_tpu.theory.quantize import (
+    beats_to_seconds,
+    decompose_duration,
+    midi_to_vexflow_key,
+    quantize_note_events_to_score,
+    to_beats,
+    vexflow_key_to_midi,
+)
+
+
+def test_split_chord_label():
+    assert split_chord_label("G:maj") == ("G", "maj", None)
+    assert split_chord_label("Am7") == ("A", "min7", None)
+    assert split_chord_label("F#m") == ("F#", "min", None)
+    assert split_chord_label("Bb:7/D") == ("Bb", "7", "D")
+    assert split_chord_label("N") == (None, None, None)
+    assert split_chord_label("C:maj/3") == ("C", "maj", "E")
+
+
+def test_normalize_and_format():
+    assert normalize_chord_label("a minor") in ("A:min", "N")
+    assert normalize_chord_label("weird!!") == "N"
+    assert format_chord_label("G", "maj") == "G:maj"
+    assert format_chord_label("A", "min7", "E") == "A:min7/E"
+
+
+def test_chord_tones():
+    assert chord_tone_pcs("C:maj") == {0, 4, 7}
+    assert chord_tone_pcs("A:min") == {9, 0, 4}
+    assert chord_tone_pcs("G:7") == {7, 11, 2, 5}
+    assert chord_tone_pcs("N") == set()
+
+
+def test_key_estimate_c_major_scale():
+    # C major scale notes, duration-weighted
+    hist = np.zeros(12)
+    for pc in (0, 2, 4, 5, 7, 9, 11):
+        hist[pc] = 1.0
+    hist[0] = 2.0  # emphasize tonic
+    k = estimate_key_from_pcs(hist)
+    assert k is not None
+    assert k.tonic == "C" and k.mode == "major" and k.fifths == 0
+
+
+def test_key_estimate_a_minor_events():
+    # A harmonic-minor flavored event set
+    pitches = [57, 59, 60, 62, 64, 65, 68, 69, 57, 69, 64]
+    events = [NoteEvent(i * 0.5, i * 0.5 + 0.4, p) for i, p in enumerate(pitches)]
+    k = estimate_key_from_events(events)
+    assert k is not None
+    assert k.tonic in ("A", "C")  # relative pair acceptable
+
+
+def test_spell_chord_label():
+    assert spell_chord_label("C#:maj", use_flats=True) == "Db:maj"
+    assert spell_chord_label("Db:min7", use_flats=False) == "C#:min7"
+    assert spell_chord_label("N", True) == "N"
+
+
+def test_vexflow_keys():
+    assert midi_to_vexflow_key(69, use_flats=False) == "a/4"
+    assert midi_to_vexflow_key(61, use_flats=True) == "db/4"
+    assert vexflow_key_to_midi("a/4") == 69
+    assert vexflow_key_to_midi("db/4") == 61
+    assert vexflow_key_to_midi("zz/9") is None
+
+
+def test_beat_interp_roundtrip():
+    beats = np.array([0.5, 1.0, 1.5, 2.0, 2.5])
+    ts = np.array([0.25, 0.75, 2.75])
+    b = to_beats(ts, beats)
+    back = [beats_to_seconds(x, beats, 120.0) for x in b]
+    np.testing.assert_allclose(back, ts, atol=1e-9)
+
+
+def test_decompose_duration():
+    toks = decompose_duration(4.0)
+    assert len(toks) == 1 and toks[0].duration == "w"
+    toks = decompose_duration(2.5)
+    assert sum(t.ql for t in toks) == 2.5
+    toks = decompose_duration(1.0 / 3.0)
+    assert abs(sum(t.ql for t in toks) - 1 / 3) < 1e-6
+
+
+def test_quantize_empty():
+    r = quantize_note_events_to_score([], tempo_bpm=120.0)
+    assert len(r.score.measures) == 1
+    assert all(item.rest for item in r.score.measures[0].items)
+
+
+def test_quantize_simple_melody():
+    # four quarter notes at 120 bpm: C4 D4 E4 F4 starting at t=0
+    events = [NoteEvent(i * 0.5, i * 0.5 + 0.5, 60 + s) for i, s in enumerate((0, 2, 4, 5))]
+    r = quantize_note_events_to_score(events, tempo_bpm=120.0)
+    assert r.score.measures[0].number == 1
+    items = [it for m in r.score.measures for it in m.items if not it.rest]
+    assert len(items) == 4
+    assert items[0].keys == ["c/4"]
+    assert items[0].duration == "q"
+    assert r.tab_positions is not None
+
+
+def test_quantize_measure_fill_and_ties():
+    # a 6-quarter note must tie across the 4/4 barline
+    events = [NoteEvent(0.0, 3.0, 60)]  # 6 quarters at 120 bpm
+    r = quantize_note_events_to_score(events, tempo_bpm=120.0)
+    pitched = [(m.number, it) for m in r.score.measures for it in m.items if not it.rest]
+    assert len(pitched) >= 2
+    assert pitched[0][1].tie == "start"
+    assert pitched[-1][1].tie == "stop"
+    from audiotabs_tpu.theory.quantize import duration_to_quarters
+
+    # first measure is exactly 4 quarters; the total spans the 6-quarter note
+    m1_q = sum(duration_to_quarters(it) for it in r.score.measures[0].items)
+    assert abs(m1_q - 4.0) < 1e-6
+    total_q = sum(duration_to_quarters(it) for m in r.score.measures for it in m.items)
+    assert abs(total_q - 6.0) < 1e-6
+
+
+def test_quantize_chord_grouping():
+    # simultaneous C-E-G becomes one chord item
+    events = [NoteEvent(0.0, 1.0, p) for p in (60, 64, 67)]
+    r = quantize_note_events_to_score(events, tempo_bpm=120.0)
+    first = next(it for m in r.score.measures for it in m.items if not it.rest)
+    assert len(first.keys) == 3
