@@ -20,3 +20,29 @@ Package layout (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA executables across processes.
+
+    Every pipeline stage is a jitted program with bucketed static shapes;
+    first-compile dominates cold-start latency (e.g. ~40 s for the HPSS
+    median program whose steady-state run is ~9 ms). The persistent cache
+    makes every process after the first start warm.
+    """
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "AUDIOTABS_COMPILE_CACHE", os.path.expanduser("~/.cache/audiotabs_tpu/xla")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

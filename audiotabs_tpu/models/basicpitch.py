@@ -14,5 +14,12 @@ import numpy as np
 from ..theory.events import NoteEvent
 
 
-def transcribe_polyphonic(y: np.ndarray, sr: int) -> list[NoteEvent]:
+def transcribe_polyphonic(
+    y: np.ndarray,
+    sr: int,
+    *,
+    onset_threshold: float = 0.5,
+    frame_threshold: float = 0.3,
+    min_note_ms: float = 127.70,
+) -> list[NoteEvent]:
     raise NotImplementedError("basic-pitch JAX model lands in a later milestone")

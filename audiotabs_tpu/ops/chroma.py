@@ -6,6 +6,9 @@ Replaces librosa.feature.chroma_cqt
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from .cqt import cqt
@@ -34,6 +37,7 @@ def chroma_from_cqt(C, bins_per_octave: int = 12, norm: bool = True):
     return folded
 
 
+@partial(jax.jit, static_argnames=("sr", "hop", "n_octaves", "bins_per_octave"))
 def chroma_cqt(x, sr: int, hop: int = 512, n_octaves: int = 6, bins_per_octave: int = 36):
     C = cqt(x, sr, hop=hop, n_bins=n_octaves * bins_per_octave, bins_per_octave=bins_per_octave)
     return chroma_from_cqt(C, bins_per_octave=bins_per_octave)

@@ -12,8 +12,9 @@ MelT/nnAudio line of work referenced in PAPERS.md).
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,6 +61,7 @@ def cqt_kernel_bank(
     return bank, freqs.astype(np.float32), K
 
 
+@partial(jax.jit, static_argnames=("sr", "hop", "fmin", "n_bins", "bins_per_octave", "filter_scale", "magnitude"))
 def cqt(
     x,
     sr: int,

@@ -7,8 +7,9 @@ accompaniment/strum.py:96-123).
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,17 +43,20 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int = 128, fmin: float = 0.0, fm
     return fb
 
 
+@partial(jax.jit, static_argnames=("sr", "n_fft", "hop", "n_mels", "power"))
 def melspectrogram(y, sr: int, n_fft: int = 2048, hop: int = 512, n_mels: int = 128, power: float = 2.0):
     S = jnp.abs(stft(y, n_fft=n_fft, hop=hop)) ** power  # [..., F, T]
     fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
     return jnp.einsum("mf,...ft->...mt", fb, S)
 
 
+@partial(jax.jit, static_argnames=("frame_length", "hop"))
 def rms(y, frame_length: int = 2048, hop: int = 512):
     frames = frame(y, frame_length, hop, center=True)  # [..., nf, L]
     return jnp.sqrt(jnp.mean(frames**2, axis=-1))
 
 
+@partial(jax.jit, static_argnames=("sr", "n_fft", "hop"))
 def spectral_centroid(y, sr: int, n_fft: int = 2048, hop: int = 512):
     S = jnp.abs(stft(y, n_fft=n_fft, hop=hop))  # [..., F, T]
     freqs = jnp.linspace(0.0, sr / 2.0, S.shape[-2])
@@ -60,6 +64,7 @@ def spectral_centroid(y, sr: int, n_fft: int = 2048, hop: int = 512):
     return jnp.einsum("f,...ft->...t", freqs, w)
 
 
+@partial(jax.jit, static_argnames=("sr", "n_fft", "hop", "roll_percent"))
 def spectral_rolloff(y, sr: int, n_fft: int = 2048, hop: int = 512, roll_percent: float = 0.85):
     S = jnp.abs(stft(y, n_fft=n_fft, hop=hop))
     freqs = jnp.linspace(0.0, sr / 2.0, S.shape[-2])

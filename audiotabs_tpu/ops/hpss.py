@@ -10,6 +10,9 @@ to cut the window materialization once this shows up in profiles.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from .spectral import stft, istft
@@ -39,6 +42,7 @@ def hpss_masks(S_mag, kernel_harm: int = 31, kernel_perc: int = 31, power: float
     return mask_h, 1.0 - mask_h
 
 
+@partial(jax.jit, static_argnames=("n_fft", "hop", "kernel", "power"))
 def hpss(y, n_fft: int = 2048, hop: int = 512, kernel: int = 31, power: float = 2.0):
     """Split a waveform into (harmonic, percussive) components."""
     S = stft(y, n_fft=n_fft, hop=hop)
@@ -50,6 +54,7 @@ def hpss(y, n_fft: int = 2048, hop: int = 512, kernel: int = 31, power: float = 
     return yh, yp
 
 
+@partial(jax.jit, static_argnames=("n_fft", "hop", "kernel", "power"))
 def harmonic(y, n_fft: int = 2048, hop: int = 512, kernel: int = 31, power: float = 2.0):
     """Harmonic component only (reference: librosa.effects.harmonic)."""
     S = stft(y, n_fft=n_fft, hop=hop)

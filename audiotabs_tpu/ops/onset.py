@@ -9,6 +9,8 @@ a lax.scan so the whole detector stays inside jit.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -16,6 +18,7 @@ from .features import melspectrogram
 from .spectral import power_to_db
 
 
+@partial(jax.jit, static_argnames=("sr", "hop", "n_fft", "n_mels", "lag"))
 def onset_strength(y, sr: int, hop: int = 512, n_fft: int = 2048, n_mels: int = 128, lag: int = 1):
     """Half-wave-rectified dB mel flux, mean over bands → [..., T]."""
     S = power_to_db(melspectrogram(y, sr, n_fft=n_fft, hop=hop, n_mels=n_mels), top_db=None)
@@ -40,6 +43,7 @@ def _sliding_reduce(x, pre: int, post: int, kind: str):
     return jnp.sum(w, axis=-1) / count
 
 
+@partial(jax.jit, static_argnames=("pre_max", "post_max", "pre_avg", "post_avg", "wait"))
 def onset_detect_frames(
     env,
     pre_max: int = 3,

@@ -1,10 +1,10 @@
-"""Pipeline orchestrator: decode → beats → pitch → chords → score → export.
+"""Pipeline orchestrator: decode → separate → beats → transcribe → chords →
+key → mode processing → quantize → export.
 
 The TPU-native re-expression of the reference's run_pipeline
-(reference: backend/app/services/pipeline.py:1611-2047). Every stage is
-try/except graceful-degradation like the reference (SURVEY.md §5), every
-intermediate is persisted as a debug artifact with the same file names, and
-stage wall-times are recorded to out/profile.json.
+(reference: backend/app/services/pipeline.py:1611-2047), with the same
+stage order, graceful per-stage degradation (SURVEY.md §5), the same debug
+artifact contract, plus per-stage wall-time profiling (out/profile.json).
 
 Audio is padded to PAD_SECONDS_BUCKET multiples so each jitted stage
 compiles once per bucket size instead of once per song length.
@@ -51,11 +51,8 @@ def _pad_to_bucket(y: np.ndarray, sr: int, bucket_s: float) -> np.ndarray:
     if bucket_s <= 0:
         return y
     bucket = int(bucket_s * sr)
-    n = len(y)
-    padded = ((n + bucket - 1) // bucket) * bucket
-    if padded == n:
-        return y
-    return np.pad(y, (0, padded - n))
+    padded = ((len(y) + bucket - 1) // bucket) * bucket
+    return np.pad(y, (0, padded - len(y))) if padded != len(y) else y
 
 
 def _write_json(path: Path, obj) -> None:
@@ -74,12 +71,13 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
     job_id = job_dir.name
     timer = StageTimer()
     errors: list[str] = []
+    s = config.settings
 
     import jax.numpy as jnp
 
     from ..io import decode_to_mono_44k, peak_normalize, resample_poly_host, write_wav
 
-    # ---- 1. decode ----
+    # ---- 1. decode (pipeline.py:1621-1622) ----
     with timer("decode"):
         y44, sr44 = decode_to_mono_44k(input_path, work / "audio_mono_44k.wav")
         if y44.size < sr44 // 10:
@@ -89,28 +87,31 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
         sr = ANALYSIS_SR
 
     true_len = len(y)
-    y_pad = _pad_to_bucket(y, sr, config.settings.PAD_SECONDS_BUCKET)
+    y_pad = _pad_to_bucket(y, sr, s.PAD_SECONDS_BUCKET)
 
-    # ---- 2. separation (htdemucs) — guitar stem for pitch, drums for beats
+    # ---- 2. separation (pipeline.py:1632-1659) ----
     stem = y_pad
+    beat_source = y_pad
     stem_source = "mix"
-    if config.settings.ENABLE_DEMUCS:
+    if s.ENABLE_DEMUCS:
         try:
             with timer("separation"):
                 from ..models.htdemucs import separate_stems
 
-                stems = separate_stems(y_pad, sr, model_name=config.settings.DEMUCS_MODEL)
+                stems = separate_stems(y_pad, sr, model_name=s.DEMUCS_MODEL)
                 if stems is not None:
-                    for name in config.settings.stem_priority():
+                    for name in s.stem_priority():
                         if name in stems:
                             stem = np.asarray(stems[name])
                             stem_source = name
                             break
-        except Exception as exc:  # graceful degradation (pipeline.py:1653-1661)
+                    if "drums" in stems:
+                        beat_source = np.asarray(stems["drums"])
+        except Exception as exc:
             errors.append(f"separation: {exc}")
             _LOG.warning("separation failed: %s", exc)
 
-    # ---- 3. harmonic component ----
+    # ---- 3. harmonic residual (pipeline.py:1669-1672) ----
     with timer("harmonic"):
         try:
             from ..ops.hpss import harmonic as harmonic_op
@@ -120,114 +121,195 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
         except Exception as exc:
             errors.append(f"harmonic: {exc}")
             y_harm = stem
+    y_harm = y_harm[:true_len]
 
-    # ---- 4. beat tracking ----
-    tempo_bpm, beat_times = 0.0, np.asarray([], dtype=np.float32)
+    # ---- 4. beat tracking (pipeline.py:1682-1686) ----
+    beat_times = np.asarray([], dtype=np.float32)
     with timer("beats"):
         try:
             from ..decode import estimate_beats
 
-            tempo_bpm, beat_times = estimate_beats(y_pad[:true_len], sr)
+            _tempo0, beat_times = estimate_beats(beat_source[:true_len], sr)
         except Exception as exc:
             errors.append(f"beats: {exc}")
             _LOG.warning("beat tracking failed: %s", exc)
 
-    # ---- 5. transcription (mode-dependent) ----
-    mode = config.settings.TRANSCRIPTION_MODE
-    note_events: list[NoteEvent] = []
-    backend_name = "none"
+    # ---- 5. threshold calibration (pipeline.py:1692-1725) ----
+    onset_thr, frame_thr = s.BASIC_PITCH_ONSET_THRESHOLD, s.BASIC_PITCH_FRAME_THRESHOLD
+    if s.ENABLE_AUTO_THRESHOLD_CALIBRATION:
+        try:
+            with timer("calibration"):
+                from ..analysis import analyze_audio_characteristics, calibrate_thresholds
+
+                chars = analyze_audio_characteristics(
+                    work / "audio_mono_44k.wav", cache_dir=work
+                )
+                onset_thr, frame_thr = calibrate_thresholds(chars)
+                _write_json(
+                    out / "threshold_calibration.json",
+                    {"characteristics": chars, "onset_threshold": onset_thr, "frame_threshold": frame_thr},
+                )
+        except Exception as exc:
+            errors.append(f"calibration: {exc}")
+
+    # ---- 6. base transcription on harmonic stem (pipeline.py:1730-1739) ----
+    base_events: list[NoteEvent] = []
+    base_backend = "none"
     with timer("transcription"):
         try:
-            note_events, backend_name = _transcribe(y_harm[:true_len], sr, mode)
+            try:
+                from ..models.basicpitch import transcribe_polyphonic
+
+                base_events = transcribe_polyphonic(
+                    y_harm, sr, onset_threshold=onset_thr, frame_threshold=frame_thr,
+                    min_note_ms=s.BASIC_PITCH_MIN_NOTE_MS,
+                )
+                base_backend = "basicpitch_jax"
+            except NotImplementedError:
+                from ..decode.melody import transcribe_melody
+
+                base_events = transcribe_melody(y_harm, sr)
+                base_backend = "pyin_melody"
         except Exception as exc:
             errors.append(f"transcription: {exc}")
             _LOG.warning("transcription failed: %s", exc)
 
-    # ---- 6. chords ----
+    # ---- 7. beat grid selection + tempo (pipeline.py:1750-1756) ----
+    from ..decode import normalize_beat_times
+    from ..theory.chord_simplify import pick_best_beat_times, tempo_from_beat_times
+
+    raw_beats = beat_times.copy()
+    with timer("beat_select"):
+        try:
+            beat_times = pick_best_beat_times(base_events, beat_times, time_signature="4/4")
+        except Exception as exc:
+            errors.append(f"beat_select: {exc}")
+    tempo_bpm = tempo_from_beat_times(beat_times)
+    norm_beats, offset = normalize_beat_times(beat_times if beat_times is not None and len(beat_times) else None)
+    if tempo_bpm <= 0:
+        tempo_bpm = 120.0
+    if offset:
+        base_events = [
+            NoteEvent(e.start_time_s - offset, e.end_time_s - offset, e.pitch_midi, e.velocity, e.amplitude)
+            for e in base_events
+        ]
+
+    # ---- 8. chords (pipeline.py:1767-1774) ----
     chords: list[ChordSegment] = []
-    chroma = None
+    chroma, chroma_times = None, None
     with timer("chords"):
         try:
             from ..chords import extract_chords
 
-            chroma, _times, chords = extract_chords(
-                y_harm[:true_len],
+            chroma, chroma_times, chords = extract_chords(
+                y_harm,
                 sr,
-                vocab=config.settings.CHORD_VOCAB,
-                switch_penalty=config.settings.SWITCH_PENALTY,
-                min_segment_sec=config.settings.MIN_SEGMENT_SEC,
-                beat_times=beat_times if beat_times.size else None,
+                vocab=s.CHORD_VOCAB,
+                switch_penalty=s.SWITCH_PENALTY,
+                min_segment_sec=s.MIN_SEGMENT_SEC,
+                beat_times=raw_beats if raw_beats.size else None,
             )
+            if offset:
+                chords = [
+                    ChordSegment(start=c.start - offset, end=c.end - offset, label=c.label, confidence=c.confidence)
+                    for c in chords
+                ]
         except Exception as exc:
             errors.append(f"chords: {exc}")
             _LOG.warning("chord extraction failed: %s", exc)
 
-    # ---- 7. key ----
+    # ---- 9. key + respelling + 7th simplification (pipeline.py:1776-1816) ----
     key_sig = None
+    use_flats = False
     with timer("key"):
         try:
+            from ..theory.chord_simplify import simplify_chord_segments
             from ..theory.key import estimate_key_from_chroma, estimate_key_from_events, spell_chord_label
 
-            key_est = None
-            if chroma is not None:
-                key_est = estimate_key_from_chroma(np.asarray(chroma))
-            if key_est is None and note_events:
-                key_est = estimate_key_from_events(note_events)
+            key_est = estimate_key_from_chroma(np.asarray(chroma)) if chroma is not None else None
+            if key_est is None and base_events:
+                key_est = estimate_key_from_events(base_events)
             if key_est is not None:
                 key_sig = key_est.to_schema()
+                use_flats = key_est.use_flats
+            chords = simplify_chord_segments(
+                chords,
+                chroma=chroma,
+                times=(np.asarray(chroma_times) - offset) if chroma_times is not None else None,
+                min_confidence=0.02,
+                min_duration=1.0,
+                seventh_ratio=0.5,
+            )
+            if key_est is not None:
                 chords = [
                     ChordSegment(
-                        start=c.start,
-                        end=c.end,
-                        label=spell_chord_label(c.label, key_est.use_flats),
-                        confidence=c.confidence,
+                        start=c.start, end=c.end,
+                        label=spell_chord_label(c.label, use_flats), confidence=c.confidence,
                     )
                     for c in chords
                 ]
         except Exception as exc:
             errors.append(f"key: {exc}")
 
-    # ---- 8. beat normalization + event shift ----
-    from ..decode import estimate_tempo, normalize_beat_times
+    # ---- 10. mode switch (pipeline.py:1824-1909) ----
+    from .modes import ModeResult, run_accompaniment_mode, run_guitar_mode
 
-    raw_beats = beat_times.copy()
-    norm_beats, offset = normalize_beat_times(beat_times if beat_times.size else None)
-    if tempo_bpm <= 0 and norm_beats is not None:
-        tempo_bpm = estimate_tempo(norm_beats)
-    if tempo_bpm <= 0:
-        tempo_bpm = 120.0
-    if offset:
-        note_events = [
-            NoteEvent(e.start_time_s - offset, e.end_time_s - offset, e.pitch_midi, e.velocity, e.amplitude)
-            for e in note_events
-        ]
-        chords = [
-            ChordSegment(start=c.start - offset, end=c.end - offset, label=c.label, confidence=c.confidence)
-            for c in chords
-        ]
-
-    # ---- 9. quantize to score + tab ----
-    score = None
-    quant = None
-    with timer("quantize"):
+    mode = s.TRANSCRIPTION_MODE
+    mode_result = ModeResult(note_events=base_events, backend=base_backend)
+    with timer("mode"):
         try:
-            from ..theory.quantize import quantize_note_events_to_score
+            if mode == "guitar":
+                mode_result = run_guitar_mode(
+                    y_harm, sr, chords, norm_beats, tempo_bpm,
+                    base_note_events=base_events, use_flats=use_flats,
+                    window_sec=s.CONTENT_ANALYSIS_WINDOW_SEC, hop_sec=s.CONTENT_ANALYSIS_HOP_SEC,
+                )
+            elif mode == "accompaniment":
+                from ..theory.chord_simplify import simplify_chords_for_accompaniment
 
-            quant = quantize_note_events_to_score(
-                note_events,
-                tempo_bpm=tempo_bpm,
-                beat_times=norm_beats,
-                time_signature="4/4",
-                guitar_tuning=config.settings.GUITAR_TUNING,
-            )
-            score = quant.score
-            if key_sig is None:
-                key_sig = quant.key_signature
+                acc_chords = simplify_chords_for_accompaniment(chords)
+                mode_result = run_accompaniment_mode(
+                    y_harm, sr, acc_chords, norm_beats, tempo_bpm, use_flats=use_flats
+                )
+            else:  # notes
+                from ..theory.postprocess import postprocess_note_events
+
+                mode_result = ModeResult(
+                    note_events=postprocess_note_events(base_events, chords, key_sig),
+                    backend=base_backend,
+                )
         except Exception as exc:
-            errors.append(f"quantize: {exc}")
-            _LOG.warning("quantization failed: %s", exc)
+            errors.append(f"mode({mode}): {exc}")
+            _LOG.warning("mode %s failed: %s; using raw events", mode, exc)
 
-    # ---- 10. debug artifacts (same contract as pipeline.py:1929-1991) ----
+    note_events = mode_result.note_events
+
+    # ---- 11. quantize (pipeline.py:1916-1927) ----
+    score = mode_result.score_override
+    pickup_quarters = mode_result.pickup_quarters
+    tab_positions = mode_result.tab_positions
+    with timer("quantize"):
+        if score is None:
+            try:
+                from ..theory.quantize import quantize_note_events_to_score
+
+                quant = quantize_note_events_to_score(
+                    note_events,
+                    tempo_bpm=tempo_bpm,
+                    beat_times=norm_beats,
+                    time_signature="4/4",
+                    guitar_tuning=s.GUITAR_TUNING,
+                )
+                score = quant.score
+                pickup_quarters = quant.pickup_quarters
+                tab_positions = quant.tab_positions
+                if key_sig is None:
+                    key_sig = quant.key_signature
+            except Exception as exc:
+                errors.append(f"quantize: {exc}")
+                _LOG.warning("quantization failed: %s", exc)
+
+    # ---- 12. debug artifacts (pipeline.py:1929-1991) ----
     with timer("artifacts"):
         _write_json(
             out / "beat_times.json",
@@ -242,11 +324,26 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
         )
         _write_json(
             out / "chords.json",
-            [
-                {"start": c.start, "end": c.end, "label": c.label, "confidence": c.confidence}
-                for c in chords
-            ],
+            [{"start": c.start, "end": c.end, "label": c.label, "confidence": c.confidence} for c in chords],
         )
+        if mode_result.content_segments:
+            _write_json(
+                out / "content_segments.json",
+                [
+                    {
+                        "start": cs.start_time_s,
+                        "end": cs.end_time_s,
+                        "type": cs.content_type,
+                        "confidence": cs.confidence,
+                        "metrics": cs.metrics,
+                    }
+                    for cs in mode_result.content_segments
+                ],
+            )
+        if mode_result.strum_onsets:
+            _write_json(out / "strum_onsets.json", mode_result.strum_onsets)
+        if mode_result.chosen_shapes:
+            _write_json(out / "chosen_shapes.json", mode_result.chosen_shapes)
         try:
             from ..score import save_note_events_csv
 
@@ -254,8 +351,7 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
         except Exception as exc:
             errors.append(f"csv: {exc}")
 
-    # ---- 11. exports ----
-    transcription_error = "; ".join(errors) if errors else None
+    # ---- 13. exports (pipeline.py:1996-2030) ----
     with timer("export"):
         if score is not None:
             try:
@@ -270,27 +366,22 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
                     key_signature_fifths=key_sig.fifths if key_sig else None,
                     title=job_id,
                     instrument="guitar",
-                    chords=[ChordSegment.model_validate(c.model_dump()) for c in chords],
+                    chords=chords,
                     beat_times=norm_beats,
-                    pickup_quarters=quant.pickup_quarters if quant else 0.0,
+                    pickup_quarters=pickup_quarters,
                     slash_notation=(mode == "accompaniment"),
-                    tab_positions=quant.tab_positions if quant else None,
-                    tab_tuning=get_tuning(config.settings.GUITAR_TUNING),
+                    tab_positions=tab_positions,
+                    tab_tuning=get_tuning(s.GUITAR_TUNING),
                     midi_path=out / "transcription.mid",
                 )
             except Exception as exc:
                 errors.append(f"musicxml: {exc}")
-                transcription_error = "; ".join(errors)
                 _LOG.warning("musicxml export failed: %s", exc)
         try:
             from ..score.lilypond import build_lilypond_score, render_lilypond_pdf
 
             ly = build_lilypond_score(
-                chords,
-                tempo_bpm=tempo_bpm,
-                beat_times=norm_beats,
-                title=job_id,
-                key_signature=key_sig,
+                chords, tempo_bpm=tempo_bpm, beat_times=norm_beats, title=job_id, key_signature=key_sig
             )
             (out / "score.ly").write_text(ly)
             render_lilypond_pdf(out / "score.ly", out / "score.pdf")
@@ -305,36 +396,7 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
         time_signature="4/4",
         key_signature=key_sig,
         chords=chords,
-        transcription_backend=backend_name,
-        transcription_error=transcription_error,
+        transcription_backend=mode_result.backend,
+        transcription_error="; ".join(errors) if errors else None,
         score=score,
     )
-
-
-def _transcribe(y_harm: np.ndarray, sr: int, mode: str) -> tuple[list[NoteEvent], str]:
-    """Mode dispatch (reference: pipeline.py:1824-1909)."""
-    if mode == "accompaniment":
-        # chords-only slash score handled downstream; no note events
-        return [], "accompaniment+chords_viterbi"
-
-    if mode == "guitar":
-        try:
-            from .guitar_mode import run_guitar_mode
-
-            return run_guitar_mode(y_harm, sr)
-        except Exception as exc:
-            _LOG.warning("guitar mode failed (%s); falling back to notes", exc)
-
-    # notes mode: polyphonic AMT when available, else pYIN melody
-    try:
-        from ..models.basicpitch import transcribe_polyphonic
-
-        events = transcribe_polyphonic(y_harm, sr)
-        if events:
-            return events, "basicpitch_jax"
-    except Exception as exc:
-        _LOG.info("polyphonic AMT unavailable (%s); using pYIN melody", exc)
-
-    from ..decode.melody import transcribe_melody
-
-    return transcribe_melody(y_harm, sr), "pyin_melody"
