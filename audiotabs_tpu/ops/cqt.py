@@ -61,7 +61,10 @@ def cqt_kernel_bank(
     return bank, freqs.astype(np.float32), K
 
 
-@partial(jax.jit, static_argnames=("sr", "hop", "fmin", "n_bins", "bins_per_octave", "filter_scale", "magnitude"))
+@partial(
+    jax.jit,
+    static_argnames=("sr", "hop", "fmin", "n_bins", "bins_per_octave", "filter_scale", "magnitude", "max_kernel_len"),
+)
 def cqt(
     x,
     sr: int,
@@ -71,9 +74,15 @@ def cqt(
     bins_per_octave: int = 12,
     filter_scale: float = 1.0,
     magnitude: bool = True,
+    max_kernel_len: int | None = None,
 ):
-    """CQT of x [..., T] → [..., n_bins, n_frames] (magnitude or complex)."""
-    bank_np, _, K = cqt_kernel_bank(sr, fmin, n_bins, bins_per_octave, filter_scale)
+    """CQT of x [..., T] → [..., n_bins, n_frames] (magnitude or complex).
+
+    ``max_kernel_len`` truncates the longest (lowest-frequency) kernels:
+    they keep their center frequency but widen in bandwidth — the standard
+    latency/memory trade for very low fmin at high bins_per_octave.
+    """
+    bank_np, _, K = cqt_kernel_bank(sr, fmin, n_bins, bins_per_octave, filter_scale, max_kernel_len)
     bank = jnp.asarray(bank_np)
     frames = frame(x, K, hop, center=True)  # [..., nf, K]
     proj = frames @ bank  # [..., nf, 2*n_bins]
@@ -85,6 +94,10 @@ def cqt(
     return jnp.swapaxes(out, -1, -2)  # [..., n_bins, nf]
 
 
+@partial(
+    jax.jit,
+    static_argnames=("sr", "hop", "fmin", "n_bins", "bins_per_octave", "harmonics", "max_kernel_len"),
+)
 def hybrid_cqt(
     x,
     sr: int,
@@ -93,28 +106,40 @@ def hybrid_cqt(
     n_bins: int = 84,
     bins_per_octave: int = 12,
     harmonics: tuple[float, ...] = (0.5, 1, 2, 3, 4, 5, 6, 7),
+    max_kernel_len: int = 16384,
 ):
     """Harmonically-stacked CQT [..., H, n_bins, n_frames].
 
-    The Basic Pitch front end stacks CQTs sampled at harmonic multiples of
-    each bin frequency (reference model N4 in SURVEY.md §2a). Computed here
-    by widening the bank: one GEMM with sub-banks at fmin*h, then a gather.
-    Bins outside Nyquist are zero.
+    The Basic Pitch front end's HarmonicStacking (reference model N4 in
+    SURVEY.md §2a): ONE base CQT wide enough to cover fmin·min(h) up to
+    fmin·max(h)·2^(n_bins/bpo), then each harmonic h is the base CQT
+    shifted by round(bpo·log2 h) bins (out-of-range bins are zero). One
+    GEMM total instead of |harmonics| transforms.
     """
-    outs = []
-    for h in harmonics:
-        f0 = fmin * h
-        n_valid = n_bins
-        # drop bins above Nyquist for this harmonic
-        top = f0 * 2.0 ** ((n_bins - 1) / bins_per_octave)
-        nyq = sr / 2.0
-        if top > nyq:
-            import math
+    import math
 
-            n_valid = max(1, int(math.floor(bins_per_octave * math.log2(nyq / f0))) )
-        c = cqt(x, sr, hop, f0, n_valid, bins_per_octave)
-        if n_valid < n_bins:
-            pad = [(0, 0)] * (c.ndim - 2) + [(0, n_bins - n_valid), (0, 0)]
-            c = jnp.pad(c, pad)
-        outs.append(c)
+    shifts = [int(round(bins_per_octave * math.log2(h))) for h in harmonics]
+    lo = min(shifts)
+    hi = max(shifts)
+    base_fmin = fmin * 2.0 ** (lo / bins_per_octave)
+    nyq_bins = int(math.floor(bins_per_octave * math.log2((sr / 2.0) / base_fmin)))
+    total_bins = min(n_bins + hi - lo, nyq_bins)
+    base = cqt(
+        x,
+        sr,
+        hop=hop,
+        fmin=base_fmin,
+        n_bins=total_bins,
+        bins_per_octave=bins_per_octave,
+        max_kernel_len=max_kernel_len,
+    )  # [..., total_bins, T]
+    outs = []
+    for s in shifts:
+        start = s - lo
+        avail = max(0, min(n_bins, total_bins - start))
+        sl = base[..., start : start + avail, :]
+        if avail < n_bins:
+            pad = [(0, 0)] * (sl.ndim - 2) + [(0, n_bins - avail), (0, 0)]
+            sl = jnp.pad(sl, pad)
+        outs.append(sl)
     return jnp.stack(outs, axis=-3)
