@@ -44,6 +44,48 @@ def chroma_features(y, sr: int, fps: float = CHROMA_FPS, harmonic_input: bool = 
     return chroma_norm[:, :n], energy
 
 
+def extract_chords_deep(
+    y: np.ndarray,
+    sr: int,
+    *,
+    min_segment_sec: float = 0.25,
+    beat_times: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, list[ChordSegment]]:
+    """Deep backend: (deep chroma DNN | CQT chroma) features → CRF Viterbi
+    (capability parity with reference deep_chords.py:233-274; the CRF uses
+    converted weights when present, else analytic template emissions)."""
+    from ..models import crf_chords
+    from ..models.deepchroma import load_params as load_dc
+
+    dc_params = load_dc()
+    if dc_params is not None:
+        from ..models.deepchroma import deep_chroma_apply
+
+        chroma_np = deep_chroma_apply(dc_params, y, sr)  # [12, T]
+        chroma = jnp.asarray(chroma_np)
+    else:
+        chroma, _energy = chroma_features(y, sr)
+        chroma_np = np.asarray(chroma)
+
+    crf_params = crf_chords.load_params() or crf_chords.template_emission_params()
+    feats = jnp.transpose(chroma, (1, 0))  # [T, 12]
+    norm = jnp.linalg.norm(feats, axis=1, keepdims=True)
+    feats = feats / jnp.maximum(norm, 1e-9)
+    path, conf = crf_chords.decode(crf_params, feats)
+    path_np, conf_np = np.asarray(path).copy(), np.asarray(conf)
+
+    # beat-sync smoothing reuses the same majority vote
+    emissions_proxy = np.zeros((crf_chords.N_STATES, path_np.shape[0]), dtype=np.float32)
+    emissions_proxy[path_np, np.arange(path_np.shape[0])] = conf_np
+    path_np, conf_np = beat_sync_majority(path_np, emissions_proxy, beat_times, CHROMA_FPS)
+
+    times = np.arange(path_np.shape[0], dtype=np.float32) / CHROMA_FPS
+    segments = frames_to_segments(
+        path_np, conf_np, times, crf_chords.LABELS, min_len=min_segment_sec
+    )
+    return chroma_np, times, segments
+
+
 def extract_chords(
     y: np.ndarray,
     sr: int,
@@ -53,8 +95,22 @@ def extract_chords(
     min_segment_sec: float = 0.25,
     beat_times: np.ndarray | None = None,
     deep_params=None,
+    backend: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray, list[ChordSegment]]:
-    """→ (chroma [12, T], times [T] s, chord segments)."""
+    """→ (chroma [12, T], times [T] s, chord segments).
+
+    Backend dispatch mirrors the reference (extract.py:86-96):
+    "deep" = chroma DNN + CRF; "template" = templates + constant-switch
+    Viterbi. Default comes from settings.CHORD_DETECTION_BACKEND.
+    """
+    if backend is None:
+        from .. import config
+
+        backend = config.settings.CHORD_DETECTION_BACKEND
+    if backend == "deep":
+        return extract_chords_deep(
+            y, sr, min_segment_sec=min_segment_sec, beat_times=beat_times
+        )
     if deep_params is not None:
         from ..models.deepchroma import deep_chroma_apply
 

@@ -1,0 +1,87 @@
+"""CRF chord recognition (madmom CRFChordRecognitionProcessor in JAX).
+
+Capability parity with reference dependency N7 (SURVEY.md §2a; invoked at
+backend/app/services/chords/deep_chords.py:63-82): a linear-chain CRF over
+25 states (12 maj + 12 min + N) with learned transition matrix, decoded by
+the jitted dense Viterbi (decode/viterbi.py). Emissions come from the deep
+chroma DNN features (or any [T, D] feature matrix) through a linear layer.
+
+Without converted weights the "deep" chord backend transparently falls back
+to the template+Viterbi path (chords/extract.py), mirroring the reference's
+fallback chain (deep_chords.py:63-82 falls back to DeepChroma recognition).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..theory.vocabulary import NOTE_NAMES_SHARP
+
+# state order: N, then 12 maj, then 12 min (madmom's majmin chord labels)
+LABELS = tuple(
+    ["N"] + [f"{n}:maj" for n in NOTE_NAMES_SHARP] + [f"{n}:min" for n in NOTE_NAMES_SHARP]
+)
+N_STATES = len(LABELS)  # 25
+
+
+def init_params(rng: jax.Array, feature_dim: int = 12) -> dict:
+    k1, k2 = jax.random.split(rng)
+    # self-transition-heavy prior
+    trans = np.full((N_STATES, N_STATES), np.log(0.02 / (N_STATES - 1)), dtype=np.float32)
+    np.fill_diagonal(trans, np.log(0.98))
+    return {
+        "emit_w": jax.random.normal(k1, (feature_dim, N_STATES)) * 0.1,
+        "emit_b": jnp.zeros((N_STATES,)),
+        "transitions": jnp.asarray(trans),
+        "initial": jnp.full((N_STATES,), -np.log(N_STATES)),
+    }
+
+
+def template_emission_params() -> dict:
+    """Analytic emission weights from chord templates — makes the CRF usable
+    without trained weights when fed 12-d chroma features."""
+    from ..theory.vocabulary import NOTE_TO_PC, QUALITY_INTERVALS
+
+    w = np.full((12, N_STATES), -0.35, dtype=np.float32)
+    w[:, 0] = 0.0
+    for s, label in enumerate(LABELS[1:], start=1):
+        root, qual = label.split(":")
+        for iv in QUALITY_INTERVALS[qual]:
+            w[(NOTE_TO_PC[root] + iv) % 12, s] = 1.0
+    w /= np.linalg.norm(w, axis=0, keepdims=True) + 1e-9
+    trans = np.full((N_STATES, N_STATES), np.log(0.02 / (N_STATES - 1)), dtype=np.float32)
+    np.fill_diagonal(trans, np.log(0.98))
+    return {
+        "emit_w": jnp.asarray(w * 8.0),  # temperature
+        "emit_b": jnp.zeros((N_STATES,)),
+        "transitions": jnp.asarray(trans),
+        "initial": jnp.full((N_STATES,), -np.log(N_STATES)),
+    }
+
+
+@jax.jit
+def decode(params: dict, feats):
+    """feats [T, D] → (state path [T], confidence [T])."""
+    from ..decode.viterbi import viterbi_log_dense
+
+    logits = feats @ params["emit_w"] + params["emit_b"]
+    log_em = jax.nn.log_softmax(logits, axis=-1)
+    path, _score = viterbi_log_dense(log_em, params["transitions"], params["initial"])
+    conf = jnp.exp(log_em[jnp.arange(log_em.shape[0]), path])
+    return path, conf
+
+
+def load_params(path: str | None = None) -> dict | None:
+    path = path or os.environ.get("CRF_CHORDS_WEIGHTS", "")
+    if not path or not os.path.exists(path):
+        return None
+    data = np.load(path)
+    needed = {"emit_w", "emit_b", "transitions", "initial"}
+    if not needed.issubset(set(data.files)):
+        return None
+    return {k: jnp.asarray(data[k]) for k in needed}

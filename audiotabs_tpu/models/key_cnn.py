@@ -1,0 +1,102 @@
+"""Global key classification CNN (madmom CNNKeyRecognitionProcessor in JAX).
+
+Capability parity with reference dependency N8 (SURVEY.md §2a; invoked at
+backend/app/services/theory/key.py:99-178): a small CNN over a log-filtered
+spectrogram producing 24 class probabilities (12 major + 12 minor), one
+global prediction per song. ``key_prediction_to_label`` mirrors madmom's
+ordering. Without converted weights the pipeline's Krumhansl estimator
+(theory/key.py) remains the default.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..theory.vocabulary import NOTE_NAMES_SHARP
+
+N_CLASSES = 24  # 12 major then 12 minor
+
+
+def key_prediction_to_label(probs: np.ndarray) -> str:
+    """argmax over 24 classes → 'C major' style label (madmom ordering)."""
+    probs = np.asarray(probs).reshape(-1)
+    idx = int(np.argmax(probs))
+    tonic = NOTE_NAMES_SHARP[idx % 12]
+    mode = "major" if idx < 12 else "minor"
+    return f"{tonic} {mode}"
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def features(y, sr: int):
+    """Log-filtered spectrogram [T, B, 1] at ~5 fps for the CNN."""
+    from .deepchroma import _filterbank
+    from ..ops.spectral import frame as frame_signal, hann_window
+
+    n_fft = 8192 if sr > 30000 else 4096
+    hop = sr // 5
+    frames = frame_signal(y, n_fft, hop, center=True)
+    w = jnp.asarray(hann_window(n_fft))
+    mag = jnp.abs(jnp.fft.rfft(frames * w, axis=-1))
+    fb = jnp.asarray(_filterbank(sr, n_fft))
+    return jnp.log1p(mag @ fb.T)[..., None]  # [T, B, 1]
+
+
+def init_params(rng: jax.Array, n_bands: int = 120) -> dict:
+    k = jax.random.split(rng, 4)
+
+    def he(key, shape):
+        return jax.random.normal(key, shape) * np.sqrt(2.0 / np.prod(shape[:-1]))
+
+    return {
+        "c1_w": he(k[0], (5, 5, 1, 8)), "c1_b": jnp.zeros((8,)),
+        "c2_w": he(k[1], (3, 3, 8, 16)), "c2_b": jnp.zeros((16,)),
+        "c3_w": he(k[2], (3, 3, 16, 32)), "c3_b": jnp.zeros((32,)),
+        "out_w": he(k[3], (32, N_CLASSES)), "out_b": jnp.zeros((N_CLASSES,)),
+    }
+
+
+def _conv2(x, w, b):
+    return jax.lax.conv_general_dilated(
+        x[None], w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )[0] + b
+
+
+@jax.jit
+def apply(params: dict, feats):
+    """[T, B, 1] → [24] global key probabilities."""
+    x = feats
+    x = jax.nn.elu(_conv2(x, params["c1_w"], params["c1_b"]))
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 2, 1), "VALID")
+    x = jax.nn.elu(_conv2(x, params["c2_w"], params["c2_b"]))
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 2, 1), "VALID")
+    x = jax.nn.elu(_conv2(x, params["c3_w"], params["c3_b"]))
+    pooled = x.mean(axis=(0, 1))  # global average over time and bands
+    return jax.nn.softmax(pooled @ params["out_w"] + params["out_b"])
+
+
+def load_params(path: str | None = None) -> dict | None:
+    path = path or os.environ.get("KEY_CNN_WEIGHTS", "")
+    if not path or not os.path.exists(path):
+        return None
+    data = np.load(path)
+    return {k: jnp.asarray(v) for k, v in data.items()}
+
+
+def estimate_key_cnn(y: np.ndarray, sr: int, params: dict | None = None):
+    """Audio → KeyEstimate via the CNN, None when no weights are loaded."""
+    p = params or load_params()
+    if p is None:
+        return None
+    probs = np.asarray(apply(p, features(jnp.asarray(np.asarray(y, np.float32)), sr)))
+    label = key_prediction_to_label(probs)
+    tonic, mode = label.split()
+    from ..theory.key import _make_estimate
+    from ..theory.vocabulary import NOTE_TO_PC
+
+    return _make_estimate(NOTE_TO_PC[tonic], mode, float(probs.max()))

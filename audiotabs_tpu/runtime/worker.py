@@ -1,0 +1,58 @@
+"""Queue worker: claim jobs from the file queue and run the pipeline.
+
+Replacement for the reference's Celery worker process
+(docker-compose.yml:27 `celery ... worker -Q gpu`):
+
+    python -m audiotabs_tpu.runtime.worker [--data-dir DIR] [--once]
+
+Scale-out = more worker processes/containers sharing the data volume, the
+same model as the reference. Workers poll the queue directory; each claim
+is an atomic rename so concurrent workers never double-process.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import signal
+import sys
+import time
+
+from .jobs import JobManager
+
+_LOG = logging.getLogger(__name__)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="audiotabs_tpu queue worker")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--poll-interval", type=float, default=0.5)
+    ap.add_argument("--once", action="store_true", help="drain the queue then exit")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    manager = JobManager(args.data_dir)
+    worker_id = f"{os.uname().nodename}-{os.getpid()}"
+    _LOG.info("worker %s watching %s", worker_id, manager.queue_dir)
+
+    stop = {"flag": False}
+    signal.signal(signal.SIGTERM, lambda *_: stop.update(flag=True))
+    signal.signal(signal.SIGINT, lambda *_: stop.update(flag=True))
+
+    while not stop["flag"]:
+        job_id = manager.claim_next(worker_id)
+        if job_id is None:
+            if args.once:
+                break
+            time.sleep(args.poll_interval)
+            continue
+        _LOG.info("processing %s", job_id)
+        t0 = time.perf_counter()
+        result = manager.process_job(job_id)
+        _LOG.info("job %s → %s in %.1fs", job_id, result.get("status"), time.perf_counter() - t0)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
