@@ -15,9 +15,17 @@ import numpy as np
 
 
 def resample_poly_host(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Polyphase resampling on the host via scipy."""
+    """Polyphase resampling on the host (C++ fast path, scipy fallback)."""
     if sr_in == sr_out:
         return np.asarray(x, dtype=np.float32)
+    try:
+        from .native import resample_native
+
+        y = resample_native(x, sr_in, sr_out)
+        if y is not None:
+            return y
+    except Exception:
+        pass
     from scipy.signal import resample_poly
 
     g = math.gcd(sr_in, sr_out)

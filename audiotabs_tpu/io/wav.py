@@ -117,7 +117,19 @@ def write_wav(path: str | os.PathLike, x: np.ndarray, sr: int, *, pcm16: bool = 
 
 
 def load_wav(path: str | os.PathLike, mono: bool = True) -> tuple[np.ndarray, int]:
-    """Load WAV as float32; downmix to mono by mean (reference: audio.py:18-22)."""
+    """Load WAV as float32; downmix to mono by mean (reference: audio.py:18-22).
+
+    Uses the C++ decoder (native/audiotabs_native.cpp) when built, falling
+    back to the pure-Python codec.
+    """
+    try:
+        from .native import read_wav_native
+
+        native = read_wav_native(path, mono=mono)
+        if native is not None:
+            return native
+    except Exception:
+        pass
     x, sr = read_wav(path)
     if mono and x.shape[1] > 1:
         x = x.mean(axis=1)
