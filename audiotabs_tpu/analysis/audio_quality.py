@@ -66,9 +66,14 @@ def analyze_audio_characteristics(
     audio_path: Path | str,
     *,
     cache_dir: Path | None = None,
+    audio: np.ndarray | None = None,
+    audio_sr: int | None = None,
 ) -> dict[str, float]:
+    """Audio characteristics for calibration. Pass ``audio``/``audio_sr`` to
+    analyze an already-decoded signal (skips the disk round-trip the
+    reference takes at audio_quality.py:76)."""
     audio_path = Path(audio_path)
-    if cache_dir is not None:
+    if cache_dir is not None and audio_path.exists():
         cache_file = cache_dir / "audio_analysis" / _cache_key(audio_path)
         if cache_file.exists() and time.time() - cache_file.stat().st_mtime <= CACHE_TTL_SEC:
             try:
@@ -80,7 +85,10 @@ def analyze_audio_characteristics(
 
     from ..io import load_wav, resample_poly_host
 
-    y, sr = load_wav(audio_path, mono=True)
+    if audio is not None:
+        y, sr = np.asarray(audio, dtype=np.float32), int(audio_sr or ANALYSIS_SR)
+    else:
+        y, sr = load_wav(audio_path, mono=True)
     if y.size == 0:
         raise ValueError("Audio loaded empty for analysis")
     if sr != ANALYSIS_SR:

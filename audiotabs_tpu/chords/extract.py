@@ -50,10 +50,12 @@ def extract_chords_deep(
     *,
     min_segment_sec: float = 0.25,
     beat_times: np.ndarray | None = None,
+    precomputed_chroma: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, list[ChordSegment]]:
     """Deep backend: (deep chroma DNN | CQT chroma) features → CRF Viterbi
     (capability parity with reference deep_chords.py:233-274; the CRF uses
-    converted weights when present, else analytic template emissions)."""
+    converted weights when present, else analytic template emissions).
+    Pass ``precomputed_chroma`` [12, T] to reuse the fused-analysis chroma."""
     from ..models import crf_chords
     from ..models.deepchroma import load_params as load_dc
 
@@ -63,6 +65,9 @@ def extract_chords_deep(
 
         chroma_np = deep_chroma_apply(dc_params, y, sr)  # [12, T]
         chroma = jnp.asarray(chroma_np)
+    elif precomputed_chroma is not None:
+        chroma = jnp.asarray(precomputed_chroma)
+        chroma_np = np.asarray(precomputed_chroma)
     else:
         chroma, _energy = chroma_features(y, sr)
         chroma_np = np.asarray(chroma)

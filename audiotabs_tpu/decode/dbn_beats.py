@@ -87,7 +87,7 @@ def _dbn_forward(
 
     init = jnp.where(valid, jnp.log(1.0 / jnp.sum(valid)), neg_inf)
     init = init + obs(act[0])
-    final, (bp_tempi, _) = jax.lax.scan(step, init, act[1:])
+    final, (bp_tempi, _) = jax.lax.scan(step, init, act[1:], unroll=8)
 
     # backtrack: state = (tempo, phase); phase decreases by 1 per earlier
     # frame; at phase 0 the previous state was (bp_tempo, L_prev - 1).
@@ -102,7 +102,7 @@ def _dbn_forward(
         return (prev_tempo, prev_phase), (tempo, phase)
 
     (t0, p0), (tempos_rev, phases_rev) = jax.lax.scan(
-        back, (tempo0, phase0), bp_tempi, reverse=True
+        back, (tempo0, phase0), bp_tempi, reverse=True, unroll=8
     )
     tempos = jnp.concatenate([t0[None], tempos_rev])
     phases = jnp.concatenate([p0[None], phases_rev])

@@ -168,7 +168,7 @@ def _banded_viterbi(log_obs_v, log_obs_u, band: int, switch_prob: float):
         return (nv, nu), bp
 
     init = (jnp.full((B,), jnp.log(0.5 / B)), jnp.full((B,), jnp.log(0.5 / B)))
-    (fv, fu), bps = jax.lax.scan(step, init, (log_obs_v, log_obs_u))
+    (fv, fu), bps = jax.lax.scan(step, init, (log_obs_v, log_obs_u), unroll=4)
 
     end_voiced = jnp.max(fv) >= jnp.max(fu)
     end_bin = jnp.where(end_voiced, jnp.argmax(fv), jnp.argmax(fu))
@@ -182,7 +182,7 @@ def _banded_viterbi(log_obs_v, log_obs_u, band: int, switch_prob: float):
         prev_b = jnp.clip(b + delta, 0, av.shape[0] - 1)
         return (prev_b, prev_is_v), (b, is_v)
 
-    (_, _), path = jax.lax.scan(back, (end_bin, end_voiced), bps, reverse=True)
+    (_, _), path = jax.lax.scan(back, (end_bin, end_voiced), bps, reverse=True, unroll=4)
     return path  # (bins [T], voiced [T])
 
 

@@ -1,0 +1,80 @@
+"""The fused per-song analysis program: one jitted call, one transfer.
+
+The north-star design (BASELINE.json): "the whole audio→note-events path is
+one jitted program". This module fuses every device-side stage of the
+pipeline — HPSS harmonic extraction, beat activation, AMT posteriors,
+chord chroma/emissions, and calibration characteristics — into a single
+XLA program per bucket size. XLA shares the underlying STFT work across
+stages and the host pays exactly one dispatch + one device→host transfer
+per song instead of one per stage.
+
+Host-side sequential decoders (DBN backtrack bookkeeping, note decoding,
+quantization) consume the returned arrays.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def fused_analysis(y, sr: int):
+    """y [T] float32 → dict of every device-computed feature the pipeline needs."""
+    from ..chords.extract import CHROMA_FPS
+    from ..chords.templates import build_chord_library, emission_probs
+    from ..models.basicpitch import salience_posteriors
+    from ..models.beat_rnn import beat_activation
+    from ..ops.chroma import chroma_from_cqt
+    from ..ops.cqt import cqt
+    from ..ops.features import rms, spectral_centroid, spectral_rolloff
+    from ..ops.hpss import harmonic as harmonic_op
+    from ..ops.onset import onset_detect_frames, onset_strength
+    from ..ops.spectral import stft
+    from ..ops.hpss import hpss_masks
+
+    out = {}
+
+    # 1. harmonic residual (shared by AMT + chords)
+    y_harm = harmonic_op(y)
+    out["y_harm"] = y_harm
+
+    # 2. beat activation at 100 fps (on the full mix)
+    out["beat_activation"] = beat_activation(y, sr, 100)
+
+    # 3. AMT posteriors on the harmonic component
+    onset_post, frame_post = salience_posteriors(y_harm, sr)
+    out["amt_onset"] = onset_post
+    out["amt_frame"] = frame_post
+
+    # 4. chord chroma + template emissions at 10 fps
+    hop = int(round(sr / CHROMA_FPS))
+    C = cqt(y_harm, sr, hop=hop, n_bins=72, bins_per_octave=12)
+    chroma = chroma_from_cqt(C, bins_per_octave=12, norm=False)
+    chroma_n = chroma / (jnp.linalg.norm(chroma, axis=0, keepdims=True) + 1e-9)
+    energy = rms(y_harm, 2048, hop)
+    n = chroma_n.shape[-1]
+    energy = energy[:n] / (jnp.max(energy[:n]) + 1e-9)
+    out["chroma"] = chroma_n
+    out["chord_energy"] = energy
+    labels, templates = build_chord_library("majmin7")
+    out["chord_emissions"] = emission_probs(chroma_n, energy, labels, templates)
+
+    # 5. calibration characteristics (audio_quality.py metrics)
+    r = rms(y, 2048, 512)
+    S = jnp.abs(stft(y, n_fft=1024, hop=512))
+    mh, mp = hpss_masks(S, 17, 17)
+    eh = jnp.sum((S * mh) ** 2)
+    ep = jnp.sum((S * mp) ** 2)
+    env = onset_strength(y, sr, hop=512, n_fft=1024)
+    onsets = onset_detect_frames(env, delta=0.5, wait=4)
+    out["char_rms_median"] = jnp.percentile(r, 50)
+    out["char_noise_rms"] = jnp.percentile(r, 10)
+    out["char_centroid"] = jnp.mean(spectral_centroid(y, sr, 2048, 512))
+    out["char_rolloff"] = jnp.mean(spectral_rolloff(y, sr, 2048, 512))
+    out["char_harm_ratio"] = jnp.where(eh + ep > 1e-9, eh / (eh + ep), 0.5)
+    out["char_onset_density"] = jnp.sum(onsets) / (y.shape[-1] / sr)
+
+    return out

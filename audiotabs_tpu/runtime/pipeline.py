@@ -52,7 +52,11 @@ def _pad_to_bucket(y: np.ndarray, sr: int, bucket_s: float) -> np.ndarray:
         return y
     bucket = int(bucket_s * sr)
     padded = ((len(y) + bucket - 1) // bucket) * bucket
-    return np.pad(y, (0, padded - len(y))) if padded != len(y) else y
+    if padded == len(y):
+        return y
+    # wrap-pad: the tail repeats the song so beat/AMT statistics in the
+    # padded region stay representative (outputs are cropped to true length)
+    return np.pad(y, (0, padded - len(y)), mode="wrap")
 
 
 def _write_json(path: Path, obj) -> None:
@@ -111,25 +115,54 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
             errors.append(f"separation: {exc}")
             _LOG.warning("separation failed: %s", exc)
 
-    # ---- 3. harmonic residual (pipeline.py:1669-1672) ----
-    with timer("harmonic"):
+    # ---- 3. fused device analysis: ONE jitted program + ONE transfer ----
+    # (harmonic residual, beat activation, AMT posteriors, chord chroma/
+    #  emissions, calibration characteristics — runtime/fused.py)
+    feats = None
+    with timer("analysis"):
         try:
-            from ..ops.hpss import harmonic as harmonic_op
+            import jax
 
-            y_harm = np.asarray(harmonic_op(jnp.asarray(stem)))
-            write_wav(work / "audio_harmonic.wav", y_harm[:true_len], sr)
+            from .fused import fused_analysis
+
+            feats = jax.device_get(fused_analysis(jnp.asarray(stem), sr))
         except Exception as exc:
-            errors.append(f"harmonic: {exc}")
-            y_harm = stem
-    y_harm = y_harm[:true_len]
+            errors.append(f"analysis: {exc}")
+            _LOG.warning("fused analysis failed: %s", exc)
+
+    if feats is not None:
+        y_harm = np.asarray(feats["y_harm"])[:true_len]
+        try:
+            write_wav(work / "audio_harmonic.wav", y_harm, sr)
+        except Exception:
+            pass
+    else:
+        with timer("harmonic"):
+            try:
+                from ..ops.hpss import harmonic as harmonic_op
+
+                y_harm = np.asarray(harmonic_op(jnp.asarray(stem)))[:true_len]
+                write_wav(work / "audio_harmonic.wav", y_harm, sr)
+            except Exception as exc:
+                errors.append(f"harmonic: {exc}")
+                y_harm = stem[:true_len]
 
     # ---- 4. beat tracking (pipeline.py:1682-1686) ----
     beat_times = np.asarray([], dtype=np.float32)
     with timer("beats"):
         try:
-            from ..decode import estimate_beats
+            from ..decode import estimate_tempo
+            from ..decode.dbn_beats import dbn_beat_track
 
-            _tempo0, beat_times = estimate_beats(beat_source[:true_len], sr)
+            if feats is not None and beat_source is y_pad:
+                act = np.asarray(feats["beat_activation"])[: int(true_len / sr * 100)]
+            else:
+                from ..models.beat_rnn import beat_activation
+
+                act = np.asarray(beat_activation(jnp.asarray(beat_source), sr, 100))[
+                    : int(true_len / sr * 100)
+                ]
+            beat_times = dbn_beat_track(act, fps=100)
         except Exception as exc:
             errors.append(f"beats: {exc}")
             _LOG.warning("beat tracking failed: %s", exc)
@@ -139,11 +172,24 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
     if s.ENABLE_AUTO_THRESHOLD_CALIBRATION:
         try:
             with timer("calibration"):
-                from ..analysis import analyze_audio_characteristics, calibrate_thresholds
+                from ..analysis import calibrate_thresholds
+                from ..analysis.audio_quality import _to_db
 
-                chars = analyze_audio_characteristics(
-                    work / "audio_mono_44k.wav", cache_dir=work
-                )
+                if feats is not None:
+                    chars = {
+                        "rms_db": _to_db(float(feats["char_rms_median"])),
+                        "spectral_centroid": float(feats["char_centroid"]),
+                        "spectral_rolloff": float(feats["char_rolloff"]),
+                        "harmonic_ratio": float(feats["char_harm_ratio"]),
+                        "onset_density": float(feats["char_onset_density"]),
+                        "noise_floor_db": _to_db(float(feats["char_noise_rms"])),
+                    }
+                else:
+                    from ..analysis import analyze_audio_characteristics
+
+                    chars = analyze_audio_characteristics(
+                        work / "audio_mono_44k.wav", cache_dir=work, audio=y, audio_sr=sr
+                    )
                 onset_thr, frame_thr = calibrate_thresholds(chars)
                 _write_json(
                     out / "threshold_calibration.json",
@@ -157,19 +203,31 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
     base_backend = "none"
     with timer("transcription"):
         try:
-            try:
+            from ..models.basicpitch import HOP as BP_HOP
+            from ..models.basicpitch import load_params as load_bp
+            from ..models.basicpitch import notes_from_posteriors
+
+            bp_params = load_bp()
+            if feats is not None and bp_params is None:
+                fps_amt = sr / BP_HOP
+                t_amt = int(true_len / BP_HOP) + 1
+                base_events = notes_from_posteriors(
+                    np.asarray(feats["amt_onset"])[:t_amt],
+                    np.asarray(feats["amt_frame"])[:t_amt],
+                    fps=fps_amt,
+                    onset_threshold=min(onset_thr, 0.45),
+                    frame_threshold=min(frame_thr, 0.35),
+                    min_note_ms=s.BASIC_PITCH_MIN_NOTE_MS,
+                )
+                base_backend = "basicpitch_jax"
+            else:
                 from ..models.basicpitch import transcribe_polyphonic
 
                 base_events = transcribe_polyphonic(
                     y_harm, sr, onset_threshold=onset_thr, frame_threshold=frame_thr,
-                    min_note_ms=s.BASIC_PITCH_MIN_NOTE_MS,
+                    min_note_ms=s.BASIC_PITCH_MIN_NOTE_MS, params=bp_params,
                 )
                 base_backend = "basicpitch_jax"
-            except NotImplementedError:
-                from ..decode.melody import transcribe_melody
-
-                base_events = transcribe_melody(y_harm, sr)
-                base_backend = "pyin_melody"
         except Exception as exc:
             errors.append(f"transcription: {exc}")
             _LOG.warning("transcription failed: %s", exc)
@@ -199,16 +257,51 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
     chroma, chroma_times = None, None
     with timer("chords"):
         try:
-            from ..chords import extract_chords
+            backend = s.CHORD_DETECTION_BACKEND
+            if feats is not None and backend == "template":
+                from ..chords.extract import CHROMA_FPS
+                from ..chords.segments import beat_sync_majority, frames_to_segments
+                from ..chords.templates import build_chord_library
+                from ..decode.viterbi import viterbi_constant_switch
 
-            chroma, chroma_times, chords = extract_chords(
-                y_harm,
-                sr,
-                vocab=s.CHORD_VOCAB,
-                switch_penalty=s.SWITCH_PENALTY,
-                min_segment_sec=s.MIN_SEGMENT_SEC,
-                beat_times=raw_beats if raw_beats.size else None,
-            )
+                t_ch = int(true_len / sr * CHROMA_FPS) + 1
+                emissions = np.asarray(feats["chord_emissions"])[:, :t_ch]
+                chroma = np.asarray(feats["chroma"])[:, :t_ch]
+                labels, _T = build_chord_library(s.CHORD_VOCAB)
+                path, conf = viterbi_constant_switch(jnp.asarray(emissions), s.SWITCH_PENALTY)
+                path_np, conf_np = beat_sync_majority(
+                    np.asarray(path), emissions, raw_beats if raw_beats.size else None, CHROMA_FPS
+                )
+                chroma_times = np.arange(path_np.shape[0], dtype=np.float32) / CHROMA_FPS
+                chords = frames_to_segments(
+                    path_np, conf_np, chroma_times, labels, min_len=s.MIN_SEGMENT_SEC
+                )
+            elif backend == "deep":
+                from ..chords.extract import CHROMA_FPS, extract_chords_deep
+
+                pre = None
+                if feats is not None:
+                    t_ch = int(true_len / sr * CHROMA_FPS) + 1
+                    pre = np.asarray(feats["chroma"])[:, :t_ch]
+                chroma, chroma_times, chords = extract_chords_deep(
+                    y_harm,
+                    sr,
+                    min_segment_sec=s.MIN_SEGMENT_SEC,
+                    beat_times=raw_beats if raw_beats.size else None,
+                    precomputed_chroma=pre,
+                )
+            else:
+                from ..chords import extract_chords
+
+                chroma, chroma_times, chords = extract_chords(
+                    y_harm,
+                    sr,
+                    vocab=s.CHORD_VOCAB,
+                    switch_penalty=s.SWITCH_PENALTY,
+                    min_segment_sec=s.MIN_SEGMENT_SEC,
+                    beat_times=raw_beats if raw_beats.size else None,
+                    backend=backend,
+                )
             if offset:
                 chords = [
                     ChordSegment(start=c.start - offset, end=c.end - offset, label=c.label, confidence=c.confidence)

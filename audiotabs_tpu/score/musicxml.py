@@ -13,7 +13,6 @@ from __future__ import annotations
 import xml.etree.ElementTree as ET
 from pathlib import Path
 from typing import List, Optional, Sequence
-from xml.dom import minidom
 
 import numpy as np
 
@@ -281,10 +280,8 @@ def export_musicxml(
     if has_tab:
         build_part("P2", is_tab=True)
 
-    xml_bytes = ET.tostring(root, encoding="unicode")
-    pretty = minidom.parseString(xml_bytes).toprettyxml(indent="  ")
-    # strip the default XML decl and add the MusicXML doctype
-    body = pretty.split("\n", 1)[1] if pretty.startswith("<?xml") else pretty
+    ET.indent(root, space=" ")
+    body = ET.tostring(root, encoding="unicode")
     doc = (
         '<?xml version="1.0" encoding="UTF-8"?>\n'
         '<!DOCTYPE score-partwise PUBLIC "-//Recordare//DTD MusicXML 4.0 Partwise//EN" '
