@@ -76,6 +76,19 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/health":
             return self._json(200, {"status": "ok"})
+        if self.path in ("/", "/index.html"):
+            from pathlib import Path
+
+            page = Path(__file__).resolve().parent.parent.parent / "frontend" / "index.html"
+            if page.exists():
+                body = page.read_bytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            return self._json(404, {"detail": "frontend not bundled"})
         m = _JOB_RE.match(self.path.split("?")[0])
         if not m:
             return self._json(404, {"detail": "not found"})
