@@ -147,10 +147,20 @@ def analyze_musical_content(
     window_sec: float = 3.0,
     hop_sec: float = 1.5,
     min_segment_sec: float = 1.0,
+    precomputed: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> list[ContentSegment]:
-    y = np.asarray(y, dtype=np.float32)
+    """Classify sections. ``precomputed`` = (window start samples, [W, 4]
+    metric matrix) from the fused analysis program skips the device pass."""
+    y = np.asarray(y)
     duration = len(y) / sr
 
+    if precomputed is not None:
+        starts_s, metrics = precomputed
+        spans = [(int(p) / sr, min((int(p) + int(window_sec * sr)), len(y)) / sr) for p in starts_s]
+        disp, dens, per, harm = (np.asarray(metrics)[:, i] for i in range(4))
+        return _segments_from_metrics(spans, disp, dens, per, harm, min_segment_sec)
+
+    y = np.asarray(y, dtype=np.float32)
     win = int(window_sec * sr)
     hop = int(hop_sec * sr)
     if duration < min_segment_sec or len(y) < win:
@@ -173,7 +183,12 @@ def analyze_musical_content(
         spans.append((pos / sr, end / sr))
 
     disp, dens, per, harm = (np.asarray(v) for v in _window_metrics(windows, sr))
+    return _segments_from_metrics(spans, disp, dens, per, harm, min_segment_sec)
 
+
+def _segments_from_metrics(
+    spans, disp, dens, per, harm, min_segment_sec: float
+) -> list[ContentSegment]:
     raw = []
     for i, (t0, t1) in enumerate(spans):
         ctype, conf = classify_metrics(float(disp[i]), float(dens[i]), float(per[i]), float(harm[i]))
@@ -181,6 +196,9 @@ def analyze_musical_content(
             "pitch_dispersion": float(disp[i]), "onset_density": float(dens[i]),
             "periodicity": float(per[i]), "harmonic_ratio": float(harm[i]),
         }))
+
+    if not raw:
+        return [ContentSegment(0.0, 0.0, ContentType.HYBRID.value, 0.5, {})]
 
     # merge consecutive same-type windows
     merged: list[ContentSegment] = []

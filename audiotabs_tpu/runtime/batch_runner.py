@@ -1,0 +1,140 @@
+"""Batch transcription: many songs through one sharded device program.
+
+BASELINE config 5 (64 full-length mixes over a v5e-8): songs are padded to
+the bucket length, stacked into a [B, T] batch, sharded over the mesh
+"data" axis, and run through ONE vmapped fused-analysis program
+(runtime/fused.py) under shard_map. Host-side decoding (DBN backtrack is
+already inside the jitted program's outputs; note decoding, chords
+segmentation, quantization, export) then runs per song in a thread pool —
+the host work overlaps the device work of the next batch.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import config
+from ..parallel.mesh import default_mesh
+from ..schemas import JobResult
+
+_LOG = logging.getLogger(__name__)
+
+ANALYSIS_SR = 22050
+
+
+def _load_and_bucket(paths: list[Path], bucket_s: float) -> tuple[np.ndarray, list[int], int]:
+    """Load all songs, resample to the analysis rate, pad to ONE common
+    bucket multiple → ([B, T] batch, true lengths, sr)."""
+    from ..io import load_wav, peak_normalize, resample_poly_host
+
+    signals = []
+    for p in paths:
+        y, sr = load_wav(p)
+        y = peak_normalize(y)
+        if sr != ANALYSIS_SR:
+            y = resample_poly_host(y, sr, ANALYSIS_SR)
+        signals.append(y)
+    true_lens = [len(y) for y in signals]
+    bucket = int(bucket_s * ANALYSIS_SR)
+    T = ((max(true_lens) + bucket - 1) // bucket) * bucket
+    batch = np.zeros((len(signals), T), dtype=np.float32)
+    for i, y in enumerate(signals):
+        batch[i, : len(y)] = y
+        # wrap-pad the tail with the song itself
+        rem = T - len(y)
+        if rem > 0 and len(y) > 0:
+            reps = int(np.ceil(rem / len(y)))
+            batch[i, len(y) :] = np.tile(y, reps)[:rem]
+    return batch, true_lens, ANALYSIS_SR
+
+
+def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None):
+    """[B, T] → fused feature dict with a leading B axis, sharded over "data".
+
+    B must be a multiple of the mesh's data-axis size (pad with zero rows
+    and drop them after if needed).
+    """
+    from jax import shard_map
+
+    from .fused import fused_analysis
+
+    mesh = mesh or default_mesh()
+    n_dev = mesh.shape["data"]
+    B = batch.shape[0]
+    pad_rows = (-B) % n_dev
+    if pad_rows:
+        batch = np.concatenate([batch, np.zeros((pad_rows,) + batch.shape[1:], batch.dtype)])
+
+    fn = shard_map(
+        jax.vmap(lambda y: fused_analysis(y, sr)),
+        mesh=mesh,
+        in_specs=P("data", None),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    device_batch = jax.device_put(jnp.asarray(batch), NamedSharding(mesh, P("data", None)))
+    out = jax.jit(fn)(device_batch)
+    host = jax.device_get(out)
+    if pad_rows:
+        host = {k: v[:B] for k, v in host.items()}
+    return host
+
+
+def _postprocess_one(feats_i: dict, true_len: int, sr: int, job_dir: Path, job_id: str) -> JobResult:
+    """Host-side post-processing for one song given its fused features."""
+    from .pipeline import run_pipeline_from_features
+
+    return run_pipeline_from_features(feats_i, true_len, sr, job_dir, job_id)
+
+
+def transcribe_batch(
+    paths: list[Path | str],
+    out_root: Path | str,
+    *,
+    mesh=None,
+    host_workers: int = 4,
+) -> list[JobResult]:
+    """Transcribe a batch of songs; writes the usual artifact layout under
+    out_root/jobs/<stem>/ and returns the JobResults."""
+    paths = [Path(p) for p in paths]
+    out_root = Path(out_root)
+    t0 = time.perf_counter()
+    batch, true_lens, sr = _load_and_bucket(paths, config.settings.PAD_SECONDS_BUCKET)
+    t_load = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    feats = batched_fused_analysis(batch, sr, mesh)
+    t_device = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    results: list[JobResult] = []
+
+    def one(i: int) -> JobResult:
+        job_id = paths[i].stem
+        job_dir = out_root / "jobs" / job_id
+        for sub in ("input", "work", "out"):
+            (job_dir / sub).mkdir(parents=True, exist_ok=True)
+        feats_i = {k: np.asarray(v[i]) for k, v in feats.items()}
+        return _postprocess_one(feats_i, true_lens[i], sr, job_dir, job_id)
+
+    with ThreadPoolExecutor(max_workers=host_workers) as pool:
+        results = list(pool.map(one, range(len(paths))))
+    t_host = time.perf_counter() - t0
+
+    total_audio = sum(true_lens) / sr
+    wall = t_load + t_device + t_host
+    _LOG.info(
+        "batch: %d songs, %.0fs audio in %.2fs (load %.2f device %.2f host %.2f) = %.1f audio-s/s",
+        len(paths), total_audio, wall, t_load, t_device, t_host, total_audio / wall,
+    )
+    return results

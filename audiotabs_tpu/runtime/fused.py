@@ -62,7 +62,22 @@ def fused_analysis(y, sr: int):
     labels, templates = build_chord_library("majmin7")
     out["chord_emissions"] = emission_probs(chroma_n, energy, labels, templates)
 
-    # 5. calibration characteristics (audio_quality.py metrics)
+    # 5. content-classifier window metrics (analysis/content_classifier.py),
+    # computed for the standard 3 s / 1.5 s window grid over the bucket
+    from ..analysis.content_classifier import _window_metrics
+
+    win = 3 * sr
+    hop_w = sr + sr // 2
+    n = y.shape[-1]
+    starts = [p for p in range(0, max(1, n - sr // 2), hop_w) if p + sr // 2 <= n]
+    if starts:
+        idx = jnp.asarray(starts)[:, None] + jnp.arange(win)[None, :]
+        windows = jnp.where(idx < n, y[jnp.clip(idx, 0, n - 1)], 0.0)
+        disp, dens, per, harm = _window_metrics(windows, sr)
+        out["content_starts"] = jnp.asarray(starts)
+        out["content_metrics"] = jnp.stack([disp, dens, per, harm], axis=1)
+
+    # 6. calibration characteristics (audio_quality.py metrics)
     r = rms(y, 2048, 512)
     S = jnp.abs(stft(y, n_fft=1024, hop=512))
     mh, mp = hpss_masks(S, 17, 17)
@@ -76,5 +91,10 @@ def fused_analysis(y, sr: int):
     out["char_rolloff"] = jnp.mean(spectral_rolloff(y, sr, 2048, 512))
     out["char_harm_ratio"] = jnp.where(eh + ep > 1e-9, eh / (eh + ep), 0.5)
     out["char_onset_density"] = jnp.sum(onsets) / (y.shape[-1] / sr)
+
+    # halve the big device→host transfers (values are unit-scale posteriors
+    # and waveforms; f16 round-trip error is inaudible/sub-threshold)
+    for k in ("y_harm", "amt_onset", "amt_frame", "beat_activation"):
+        out[k] = out[k].astype(jnp.float16)
 
     return out

@@ -269,10 +269,13 @@ def run_guitar_mode(
     use_flats: bool = False,
     window_sec: float = 3.0,
     hop_sec: float = 1.5,
+    precomputed_content: tuple | None = None,
 ) -> ModeResult:
     """Hybrid mode: content classification routes each section to melodic
     transcription or strum detection (pipeline.py:1307-1533)."""
-    content = analyze_musical_content(y, sr, window_sec=window_sec, hop_sec=hop_sec)
+    content = analyze_musical_content(
+        y, sr, window_sec=window_sec, hop_sec=hop_sec, precomputed=precomputed_content
+    )
 
     if base_note_events is None:
         try:

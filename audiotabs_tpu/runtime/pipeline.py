@@ -131,7 +131,7 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
             _LOG.warning("fused analysis failed: %s", exc)
 
     if feats is not None:
-        y_harm = np.asarray(feats["y_harm"])[:true_len]
+        y_harm = np.asarray(feats["y_harm"], dtype=np.float32)[:true_len]
         try:
             write_wav(work / "audio_harmonic.wav", y_harm, sr)
         except Exception:
@@ -147,6 +147,89 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
                 errors.append(f"harmonic: {exc}")
                 y_harm = stem[:true_len]
 
+    return _pipeline_tail(
+        feats=feats,
+        y_harm=y_harm,
+        y=y,
+        true_len=true_len,
+        sr=sr,
+        work=work,
+        out=out,
+        job_id=job_id,
+        timer=timer,
+        errors=errors,
+        stem_source=stem_source,
+        beat_act_from_feats=(feats is not None and beat_source is y_pad),
+        beat_source=beat_source,
+    )
+
+
+def run_pipeline_from_features(
+    feats: dict,
+    true_len: int,
+    sr: int,
+    job_dir: Path | str,
+    job_id: str | None = None,
+) -> JobResult:
+    """Post-analysis pipeline for a song whose fused features were computed
+    elsewhere (the batch runner's per-song tail, runtime/batch_runner.py)."""
+    job_dir = Path(job_dir)
+    work = job_dir / "work"
+    out = job_dir / "out"
+    work.mkdir(parents=True, exist_ok=True)
+    out.mkdir(parents=True, exist_ok=True)
+    timer = StageTimer()
+    errors: list[str] = []
+    y_harm = np.asarray(feats["y_harm"], dtype=np.float32)[:true_len]
+    try:
+        from ..io import write_wav
+
+        write_wav(work / "audio_harmonic.wav", y_harm, sr)
+    except Exception:
+        pass
+    result = _pipeline_tail(
+        feats=feats,
+        y_harm=y_harm,
+        y=None,
+        true_len=true_len,
+        sr=sr,
+        work=work,
+        out=out,
+        job_id=job_id or job_dir.name,
+        timer=timer,
+        errors=errors,
+        stem_source="mix",
+        beat_act_from_feats=True,
+        beat_source=None,
+    )
+    from .storage import LocalStorage
+
+    LocalStorage(job_dir.parent.parent).write_json(
+        out / "result.json", json.loads(result.model_dump_json())
+    )
+    return result
+
+
+def _pipeline_tail(
+    *,
+    feats: dict | None,
+    y_harm: np.ndarray,
+    y: np.ndarray | None,
+    true_len: int,
+    sr: int,
+    work: Path,
+    out: Path,
+    job_id: str,
+    timer: StageTimer,
+    errors: list[str],
+    stem_source: str,
+    beat_act_from_feats: bool,
+    beat_source: np.ndarray | None,
+) -> JobResult:
+    s = config.settings
+
+    import jax.numpy as jnp
+
     # ---- 4. beat tracking (pipeline.py:1682-1686) ----
     beat_times = np.asarray([], dtype=np.float32)
     with timer("beats"):
@@ -154,8 +237,8 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
             from ..decode import estimate_tempo
             from ..decode.dbn_beats import dbn_beat_track
 
-            if feats is not None and beat_source is y_pad:
-                act = np.asarray(feats["beat_activation"])[: int(true_len / sr * 100)]
+            if beat_act_from_feats and feats is not None:
+                act = np.asarray(feats["beat_activation"], dtype=np.float32)[: int(true_len / sr * 100)]
             else:
                 from ..models.beat_rnn import beat_activation
 
@@ -188,7 +271,8 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
                     from ..analysis import analyze_audio_characteristics
 
                     chars = analyze_audio_characteristics(
-                        work / "audio_mono_44k.wav", cache_dir=work, audio=y, audio_sr=sr
+                        work / "audio_mono_44k.wav", cache_dir=work,
+                        audio=y if y is not None else y_harm, audio_sr=sr,
                     )
                 onset_thr, frame_thr = calibrate_thresholds(chars)
                 _write_json(
@@ -212,8 +296,8 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
                 fps_amt = sr / BP_HOP
                 t_amt = int(true_len / BP_HOP) + 1
                 base_events = notes_from_posteriors(
-                    np.asarray(feats["amt_onset"])[:t_amt],
-                    np.asarray(feats["amt_frame"])[:t_amt],
+                    np.asarray(feats["amt_onset"], dtype=np.float32)[:t_amt],
+                    np.asarray(feats["amt_frame"], dtype=np.float32)[:t_amt],
                     fps=fps_amt,
                     onset_threshold=min(onset_thr, 0.45),
                     frame_threshold=min(frame_thr, 0.35),
@@ -352,10 +436,22 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
     with timer("mode"):
         try:
             if mode == "guitar":
+                pre_content = None
+                if (
+                    feats is not None
+                    and "content_metrics" in feats
+                    and abs(s.CONTENT_ANALYSIS_WINDOW_SEC - 3.0) < 1e-6
+                    and abs(s.CONTENT_ANALYSIS_HOP_SEC - 1.5) < 1e-6
+                ):
+                    starts = np.asarray(feats["content_starts"])
+                    metrics = np.asarray(feats["content_metrics"])
+                    keep = starts + sr // 2 <= true_len  # windows inside the true song
+                    pre_content = (starts[keep], metrics[keep])
                 mode_result = run_guitar_mode(
                     y_harm, sr, chords, norm_beats, tempo_bpm,
                     base_note_events=base_events, use_flats=use_flats,
                     window_sec=s.CONTENT_ANALYSIS_WINDOW_SEC, hop_sec=s.CONTENT_ANALYSIS_HOP_SEC,
+                    precomputed_content=pre_content,
                 )
             elif mode == "accompaniment":
                 from ..theory.chord_simplify import simplify_chords_for_accompaniment

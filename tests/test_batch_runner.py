@@ -1,0 +1,49 @@
+import numpy as np
+import pytest
+
+from audiotabs_tpu.io import write_wav
+
+
+@pytest.fixture(scope="module")
+def song_files(tmp_path_factory):
+    """8 short songs with distinct tonic chords."""
+    sr = 22050
+    root_dir = tmp_path_factory.mktemp("songs")
+    paths = []
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        root = 48 + i  # C3..G3 chord roots
+        t = np.arange(sr * 2) / sr
+        y = sum(
+            0.25 * np.sin(2 * np.pi * 440 * 2 ** ((p - 69) / 12) * t)
+            for p in (root, root + 4, root + 7)
+        )
+        for k in range(0, len(y) - 300, sr // 2):
+            y[k : k + 300] += 0.2 * rng.standard_normal(300)
+        p = root_dir / f"song{i}.wav"
+        write_wav(p, np.asarray(y, dtype=np.float32), sr)
+        paths.append(p)
+    return paths
+
+
+def test_batch_transcription_sharded(song_files, tmp_path, monkeypatch):
+    monkeypatch.setenv("TRANSCRIPTION_MODE", "notes")
+    monkeypatch.setenv("PAD_SECONDS_BUCKET", "2")
+    from audiotabs_tpu.config import reload_settings
+
+    reload_settings()
+    from audiotabs_tpu.parallel.mesh import make_mesh
+    from audiotabs_tpu.runtime.batch_runner import transcribe_batch
+
+    mesh = make_mesh((8,), ("data",))
+    results = transcribe_batch(song_files, tmp_path, mesh=mesh, host_workers=2)
+    assert len(results) == 8
+    for i, r in enumerate(results):
+        assert r.job_id == f"song{i}"
+        assert r.score is not None
+        out = tmp_path / "jobs" / f"song{i}" / "out"
+        assert (out / "result.json").exists()
+        assert (out / "result.musicxml").exists()
+    # distinct songs → distinct chord roots detected in at least some cases
+    roots = {c.label.split(":")[0] for r in results for c in r.chords if c.label != "N"}
+    assert len(roots) >= 3
