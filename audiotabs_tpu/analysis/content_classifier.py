@@ -92,7 +92,7 @@ def _window_metrics(windows, sr: int):
         # harmonic ratio via HPSS masks in the spectral domain (energy of the
         # masked spectrogram ≈ energy of the separated waveform)
         S = jnp.abs(stft(y, n_fft=1024, hop=hop))
-        mh, mp = hpss_masks(S, 17, 17)
+        mh, mp = hpss_masks(S, 17, 17, use_pallas=False)
         eh = jnp.sum((S * mh) ** 2)
         ep = jnp.sum((S * mp) ** 2)
         ratio = jnp.where(eh + ep > 1e-9, eh / (eh + ep), 0.5)

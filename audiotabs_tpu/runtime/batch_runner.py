@@ -76,7 +76,7 @@ def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None):
         batch = np.concatenate([batch, np.zeros((pad_rows,) + batch.shape[1:], batch.dtype)])
 
     fn = shard_map(
-        jax.vmap(lambda y: fused_analysis(y, sr)),
+        jax.vmap(lambda y: fused_analysis(y, sr, use_pallas=False)),
         mesh=mesh,
         in_specs=P("data", None),
         out_specs=P("data"),

@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("sr",))
-def fused_analysis(y, sr: int):
+@partial(jax.jit, static_argnames=("sr", "use_pallas"))
+def fused_analysis(y, sr: int, use_pallas: bool | None = None):
     """y [T] float32 → dict of every device-computed feature the pipeline needs."""
     from ..chords.extract import CHROMA_FPS
     from ..chords.templates import build_chord_library, emission_probs
@@ -38,7 +38,7 @@ def fused_analysis(y, sr: int):
     out = {}
 
     # 1. harmonic residual (shared by AMT + chords)
-    y_harm = harmonic_op(y)
+    y_harm = harmonic_op(y, use_pallas=use_pallas)
     out["y_harm"] = y_harm
 
     # 2. beat activation at 100 fps (on the full mix)
@@ -80,7 +80,7 @@ def fused_analysis(y, sr: int):
     # 6. calibration characteristics (audio_quality.py metrics)
     r = rms(y, 2048, 512)
     S = jnp.abs(stft(y, n_fft=1024, hop=512))
-    mh, mp = hpss_masks(S, 17, 17)
+    mh, mp = hpss_masks(S, 17, 17, use_pallas=use_pallas)
     eh = jnp.sum((S * mh) ** 2)
     ep = jnp.sum((S * mp) ** 2)
     env = onset_strength(y, sr, hop=512, n_fft=1024)
