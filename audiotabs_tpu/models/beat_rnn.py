@@ -164,17 +164,30 @@ def load_params(path: str) -> dict | None:
 
 @partial(jax.jit, static_argnames=("sr", "fps"))
 def onset_activation(y, sr: int, fps: int = FPS_DEFAULT):
-    """Spectral-flux beat activation at `fps`, normalized to [0, 1]."""
-    feats = spectral_features(y, sr, fps)  # [T, D]
-    # the diff half of the feature stack is the flux; average it
-    D = feats.shape[-1]
-    flux_cols = []
-    col = 0
-    for n_fft in _FRAME_SIZES:
-        nb = _log_filterbank(sr, n_fft).shape[0]
-        flux_cols.append(feats[:, col + nb : col + 2 * nb].mean(axis=-1))
-        col += 2 * nb
-    act = jnp.stack(flux_cols, 0).mean(0)
+    """Spectral-flux beat activation at `fps`, normalized to [0, 1].
+
+    Band energies come from the conv-CQT GEMM (6 bands/octave over the
+    madmom frequency range) instead of three framed FFT spectrograms —
+    the same implicit-GEMM formulation as ops/cqt, no frame gathers.
+    """
+    import math
+
+    from ..ops.cqt import cqt
+
+    hop = sr // fps
+    n_bins = int(math.floor(_BANDS_PER_OCTAVE * math.log2(_FMAX / _FMIN)))
+    C = cqt(
+        y,
+        sr,
+        hop=hop,
+        fmin=_FMIN,
+        n_bins=min(n_bins, int(math.floor(_BANDS_PER_OCTAVE * math.log2((sr / 2.0 - 1) / _FMIN)))),
+        bins_per_octave=_BANDS_PER_OCTAVE,
+        max_kernel_len=2048,
+    )  # [B, T]
+    logb = jnp.log10(1.0 + 5.0 * C)
+    diff = jnp.maximum(0.0, logb[:, 1:] - logb[:, :-1])
+    act = jnp.pad(diff.mean(axis=0), (1, 0))
     # light smoothing (3-frame triangular)
     kernel = jnp.array([0.25, 0.5, 0.25])
     act = jnp.convolve(act, kernel, mode="same")

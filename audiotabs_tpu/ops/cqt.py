@@ -78,14 +78,29 @@ def cqt(
 ):
     """CQT of x [..., T] → [..., n_bins, n_frames] (magnitude or complex).
 
-    ``max_kernel_len`` truncates the longest (lowest-frequency) kernels:
-    they keep their center frequency but widen in bandwidth — the standard
-    latency/memory trade for very low fmin at high bins_per_octave.
+    Computed as ONE strided convolution (stride = hop) against the kernel
+    bank — XLA lowers it to an implicit GEMM on the MXU without ever
+    materializing the [n_frames, K] frame matrix (a gather that dominated
+    the op's runtime). ``max_kernel_len`` truncates the longest
+    (lowest-frequency) kernels: they keep their center frequency but widen
+    in bandwidth — the standard latency/memory trade for very low fmin at
+    high bins_per_octave.
     """
     bank_np, _, K = cqt_kernel_bank(sr, fmin, n_bins, bins_per_octave, filter_scale, max_kernel_len)
-    bank = jnp.asarray(bank_np)
-    frames = frame(x, K, hop, center=True)  # [..., nf, K]
-    proj = frames @ bank  # [..., nf, 2*n_bins]
+    bank = jnp.asarray(bank_np)  # [K, 2*n_bins]
+    lead = x.shape[:-1]
+    T = x.shape[-1]
+    xf = x.reshape((-1, 1, T))  # [N, C=1, T]
+    xf = jnp.pad(xf, ((0, 0), (0, 0), (K // 2, K // 2)), mode="reflect")
+    proj = jax.lax.conv_general_dilated(
+        xf,
+        bank[:, None, :],  # [K, C_in=1, C_out=2B]
+        window_strides=(hop,),
+        padding="VALID",
+        dimension_numbers=("NCH", "HIO", "NCH"),
+    )  # [N, 2B, nf]
+    proj = jnp.moveaxis(proj, -2, -1)  # [N, nf, 2B]
+    proj = proj.reshape(lead + proj.shape[1:])
     re, im = proj[..., :n_bins], proj[..., n_bins:]
     if magnitude:
         out = jnp.sqrt(re * re + im * im + 1e-20)
