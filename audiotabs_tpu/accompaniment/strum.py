@@ -16,7 +16,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops.features import melspectrogram
-from ..ops.onset import onset_detect_frames
 from ..ops.spectral import power_to_db
 from ..theory.quantize import to_beats
 
@@ -75,6 +74,32 @@ def quantize_onsets(
     return np.round(pos / grid) * grid * sec_per_q
 
 
+def _peak_pick_np(env: np.ndarray, delta: float, wait: int, pre: int = 3, post: int = 3) -> np.ndarray:
+    """Host-side numpy port of ops.onset.onset_detect_frames (tiny arrays —
+    a device round-trip would cost more than the computation)."""
+    T = len(env)
+    if T == 0:
+        return np.zeros(0, dtype=np.int64)
+    padded_max = np.pad(env, (pre, post), constant_values=-np.inf)
+    win = pre + post + 1
+    local_max = np.max(
+        np.lib.stride_tricks.sliding_window_view(padded_max, win), axis=-1
+    )
+    padded_avg = np.pad(env, (pre, post + 2), constant_values=0.0)
+    sums = np.convolve(padded_avg, np.ones(pre + 6), mode="valid")[:T]
+    count = np.minimum(np.arange(T) + pre + 1, T - np.arange(T) + pre)
+    count = np.minimum(count, pre + 6)
+    local_avg = sums / np.maximum(count, 1)
+    cand = (env >= local_max) & (env >= local_avg + delta)
+    frames = []
+    last = -wait - 1
+    for t in np.flatnonzero(cand):
+        if t - last > wait:
+            frames.append(t)
+            last = t
+    return np.asarray(frames, dtype=np.int64)
+
+
 def detect_strum_onsets(
     y: np.ndarray,
     sr: int,
@@ -84,16 +109,30 @@ def detect_strum_onsets(
     min_interval_s: float = 0.12,
     onset_delta: float = 0.2,
     hop: int = 512,
+    envelope: np.ndarray | None = None,
 ) -> np.ndarray:
+    """Detect strum onsets. Pass ``envelope`` (the normalized median-flux
+    envelope at `hop` for this span, e.g. a slice of the fused program's
+    strum_envelope) to skip the device pass entirely."""
     y = np.asarray(y, dtype=np.float32)
     if y.size == 0:
         return np.asarray([], dtype=np.float32)
 
-    env = _onset_strength_median(jnp.asarray(y), sr, hop)
-    env = env / (jnp.max(env) + 1e-9)
-    mask = onset_detect_frames(env, delta=onset_delta, wait=3)
-    env_np = np.asarray(env)
-    frames = np.flatnonzero(np.asarray(mask))
+    if envelope is not None:
+        env_np = np.asarray(envelope, dtype=np.float32)
+        env_np = env_np / (env_np.max() + 1e-9)
+    else:
+        # bucket-pad so arbitrary segment lengths reuse one compiled program
+        true_len = len(y)
+        bucket = int(1.5 * sr)
+        padded = ((true_len + bucket - 1) // bucket) * bucket
+        if padded != true_len:
+            y = np.pad(y, (0, padded - true_len), mode="wrap")
+        env = _onset_strength_median(jnp.asarray(y), sr, hop)
+        env_np = np.asarray(env[: true_len // hop + 1])
+        env_np = env_np / (env_np.max() + 1e-9)
+
+    frames = _peak_pick_np(env_np, delta=onset_delta, wait=3)
     if frames.size == 0:
         return np.asarray([], dtype=np.float32)
 

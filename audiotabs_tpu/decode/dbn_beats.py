@@ -130,14 +130,33 @@ def dbn_beat_track(
         transition_lambda=transition_lambda,
         observation_lambda=observation_lambda,
     )
-    phases = np.asarray(phases)
-    intervals = np.asarray(intervals)
-    # beat = the max-activation frame inside each decoded beat window
-    # (phase < ceil(L/observation_lambda)), madmom's peak-selection behavior
+    return beats_from_decoded(
+        np.asarray(phases), np.asarray(intervals), act,
+        fps=fps, observation_lambda=observation_lambda, threshold=threshold,
+    )
+
+
+def beats_from_decoded(
+    phases: np.ndarray,
+    intervals: np.ndarray,
+    act: np.ndarray,
+    *,
+    fps: int = 100,
+    observation_lambda: int = 16,
+    threshold: float = 0.05,
+) -> np.ndarray:
+    """Decoded (phase, interval) path + activation → beat times.
+
+    Beat = the max-activation frame inside each decoded beat window
+    (phase < ceil(L/observation_lambda)), madmom's peak-selection behavior.
+    Used both by dbn_beat_track and by the fused program's on-device decode
+    (runtime/fused.py outputs dbn_phases/dbn_intervals).
+    """
+    T = min(len(act), len(phases))
+    phases, intervals, act = phases[:T], intervals[:T], act[:T]
     in_window = phases < np.ceil(intervals / observation_lambda).astype(np.int64)
     frames = []
     t = 0
-    T = len(act)
     while t < T:
         if in_window[t]:
             u = t

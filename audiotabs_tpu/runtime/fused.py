@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("sr", "use_pallas"))
-def fused_analysis(y, sr: int, use_pallas: bool | None = None):
+@partial(jax.jit, static_argnames=("sr", "use_pallas", "switch_penalty"))
+def fused_analysis(y, sr: int, use_pallas: bool | None = None, switch_penalty: float = 2.5):
     """y [T] float32 → dict of every device-computed feature the pipeline needs."""
     from ..chords.extract import CHROMA_FPS
     from ..chords.templates import build_chord_library, emission_probs
@@ -61,6 +61,31 @@ def fused_analysis(y, sr: int, use_pallas: bool | None = None):
     out["chord_energy"] = energy
     labels, templates = build_chord_library("majmin7")
     out["chord_emissions"] = emission_probs(chroma_n, energy, labels, templates)
+
+    # 4b. chord Viterbi decode (decode/viterbi.py) — the whole template chord
+    # path now completes on-device; the host only segments the frame path
+    from ..decode.viterbi import viterbi_constant_switch
+
+    chord_path, chord_conf = viterbi_constant_switch(
+        out["chord_emissions"], switch_penalty
+    )
+    out["chord_path"] = chord_path
+    out["chord_conf"] = chord_conf
+
+    # 4c. DBN beat decode (decode/dbn_beats.py) — Viterbi + backtrack
+    # on-device; the host only picks activation peaks per beat window
+    from ..decode.dbn_beats import _dbn_forward
+
+    phases, intervals = _dbn_forward(out["beat_activation"])
+    out["dbn_phases"] = phases.astype(jnp.int32)
+    out["dbn_intervals"] = intervals.astype(jnp.int32)
+
+    # 4d. full-track strum envelope (accompaniment/strum.py front end):
+    # median-aggregated mel flux; segment-local peak picking runs on host
+    from ..accompaniment.strum import _onset_strength_median
+
+    strum_env = _onset_strength_median(y_harm, sr, 512)
+    out["strum_envelope"] = strum_env / (jnp.max(strum_env) + 1e-9)
 
     # 5. content-classifier window metrics (analysis/content_classifier.py),
     # computed for the standard 3 s / 1.5 s window grid over the bucket

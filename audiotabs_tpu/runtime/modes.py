@@ -234,11 +234,12 @@ def run_accompaniment_mode(
     *,
     use_flats: bool = False,
     time_signature: str = "4/4",
+    strum_envelope: np.ndarray | None = None,
 ) -> ModeResult:
     """Strum onsets + chord shapes → slash score (pipeline.py:1884-1909)."""
     onsets = detect_strum_onsets(
         y, sr, beat_times=beat_times if beat_times is not None and len(beat_times) > 1 else None,
-        tempo_bpm=tempo_bpm,
+        tempo_bpm=tempo_bpm, envelope=strum_envelope,
     )
     segments = assign_shapes(chords)
     events = build_strum_events(onsets, segments, use_flats=use_flats)
@@ -270,6 +271,7 @@ def run_guitar_mode(
     window_sec: float = 3.0,
     hop_sec: float = 1.5,
     precomputed_content: tuple | None = None,
+    strum_envelope: np.ndarray | None = None,
 ) -> ModeResult:
     """Hybrid mode: content classification routes each section to melodic
     transcription or strum detection (pipeline.py:1307-1533)."""
@@ -306,6 +308,9 @@ def run_guitar_mode(
                     if np.count_nonzero(m) >= 2:
                         bt_seg = bt[m] - a
                 try:
+                    env_seg = None
+                    if strum_envelope is not None:
+                        env_seg = strum_envelope[int(a * sr) // 512 : int(b * sr) // 512 + 1]
                     onsets = detect_strum_onsets(
                         y_seg,
                         sr,
@@ -313,6 +318,7 @@ def run_guitar_mode(
                         tempo_bpm=tempo_bpm,
                         min_interval_s=0.12 if seg.content_type == "chordal" else 0.2,
                         onset_delta=0.2 if seg.content_type == "chordal" else 0.25,
+                        envelope=env_seg,
                     )
                     onsets = onsets + a
                     all_onsets.extend(float(t) for t in onsets)

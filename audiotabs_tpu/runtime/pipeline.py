@@ -121,11 +121,21 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
     feats = None
     with timer("analysis"):
         try:
+            import contextlib
+
             import jax
 
             from .fused import fused_analysis
 
-            feats = jax.device_get(fused_analysis(jnp.asarray(stem), sr))
+            # real device profiling (SURVEY.md §5: the reference has none):
+            # set PROFILE_DIR to capture an XLA trace of the fused program
+            trace_ctx = (
+                jax.profiler.trace(s.PROFILE_DIR) if s.PROFILE_DIR else contextlib.nullcontext()
+            )
+            with trace_ctx:
+                feats = jax.device_get(
+                    fused_analysis(jnp.asarray(stem), sr, switch_penalty=s.SWITCH_PENALTY)
+                )
         except Exception as exc:
             errors.append(f"analysis: {exc}")
             _LOG.warning("fused analysis failed: %s", exc)
@@ -230,22 +240,37 @@ def _pipeline_tail(
 
     import jax.numpy as jnp
 
-    # ---- 4. beat tracking (pipeline.py:1682-1686) ----
+    # ---- 4. beat tracking + meter (pipeline.py:1682-1686; beats.py:46-58) ----
     beat_times = np.asarray([], dtype=np.float32)
+    time_sig = "4/4"
+    downbeats = np.asarray([], dtype=np.float32)
     with timer("beats"):
         try:
             from ..decode import estimate_tempo
             from ..decode.dbn_beats import dbn_beat_track
 
-            if beat_act_from_feats and feats is not None:
-                act = np.asarray(feats["beat_activation"], dtype=np.float32)[: int(true_len / sr * 100)]
-            else:
-                from ..models.beat_rnn import beat_activation
+            t100 = int(true_len / sr * 100)
+            if beat_act_from_feats and feats is not None and "dbn_phases" in feats:
+                from ..decode.dbn_beats import beats_from_decoded
 
-                act = np.asarray(beat_activation(jnp.asarray(beat_source), sr, 100))[
-                    : int(true_len / sr * 100)
-                ]
-            beat_times = dbn_beat_track(act, fps=100)
+                act = np.asarray(feats["beat_activation"], dtype=np.float32)[:t100]
+                beat_times = beats_from_decoded(
+                    np.asarray(feats["dbn_phases"])[:t100],
+                    np.asarray(feats["dbn_intervals"])[:t100],
+                    act,
+                    fps=100,
+                )
+            else:
+                if beat_act_from_feats and feats is not None:
+                    act = np.asarray(feats["beat_activation"], dtype=np.float32)[:t100]
+                else:
+                    from ..models.beat_rnn import beat_activation
+
+                    act = np.asarray(beat_activation(jnp.asarray(beat_source), sr, 100))[:t100]
+                beat_times = dbn_beat_track(act, fps=100)
+            from ..decode.downbeats import infer_meter_and_downbeats
+
+            time_sig, downbeats = infer_meter_and_downbeats(beat_times, act, fps=100)
         except Exception as exc:
             errors.append(f"beats: {exc}")
             _LOG.warning("beat tracking failed: %s", exc)
@@ -323,7 +348,7 @@ def _pipeline_tail(
     raw_beats = beat_times.copy()
     with timer("beat_select"):
         try:
-            beat_times = pick_best_beat_times(base_events, beat_times, time_signature="4/4")
+            beat_times = pick_best_beat_times(base_events, beat_times, time_signature=time_sig)
         except Exception as exc:
             errors.append(f"beat_select: {exc}")
     tempo_bpm = tempo_from_beat_times(beat_times)
@@ -352,9 +377,13 @@ def _pipeline_tail(
                 emissions = np.asarray(feats["chord_emissions"])[:, :t_ch]
                 chroma = np.asarray(feats["chroma"])[:, :t_ch]
                 labels, _T = build_chord_library(s.CHORD_VOCAB)
-                path, conf = viterbi_constant_switch(jnp.asarray(emissions), s.SWITCH_PENALTY)
+                if "chord_path" in feats:
+                    path = np.asarray(feats["chord_path"])[:t_ch]
+                else:
+                    path, _conf = viterbi_constant_switch(jnp.asarray(emissions), s.SWITCH_PENALTY)
+                    path = np.asarray(path)
                 path_np, conf_np = beat_sync_majority(
-                    np.asarray(path), emissions, raw_beats if raw_beats.size else None, CHROMA_FPS
+                    path, emissions, raw_beats if raw_beats.size else None, CHROMA_FPS
                 )
                 chroma_times = np.arange(path_np.shape[0], dtype=np.float32) / CHROMA_FPS
                 chords = frames_to_segments(
@@ -447,18 +476,28 @@ def _pipeline_tail(
                     metrics = np.asarray(feats["content_metrics"])
                     keep = starts + sr // 2 <= true_len  # windows inside the true song
                     pre_content = (starts[keep], metrics[keep])
+                strum_env = None
+                if feats is not None and "strum_envelope" in feats:
+                    strum_env = np.asarray(feats["strum_envelope"], dtype=np.float32)
                 mode_result = run_guitar_mode(
                     y_harm, sr, chords, norm_beats, tempo_bpm,
                     base_note_events=base_events, use_flats=use_flats,
                     window_sec=s.CONTENT_ANALYSIS_WINDOW_SEC, hop_sec=s.CONTENT_ANALYSIS_HOP_SEC,
                     precomputed_content=pre_content,
+                    strum_envelope=strum_env,
                 )
             elif mode == "accompaniment":
                 from ..theory.chord_simplify import simplify_chords_for_accompaniment
 
                 acc_chords = simplify_chords_for_accompaniment(chords)
+                strum_env = None
+                if feats is not None and "strum_envelope" in feats:
+                    strum_env = np.asarray(feats["strum_envelope"], dtype=np.float32)[
+                        : true_len // 512 + 1
+                    ]
                 mode_result = run_accompaniment_mode(
-                    y_harm, sr, acc_chords, norm_beats, tempo_bpm, use_flats=use_flats
+                    y_harm, sr, acc_chords, norm_beats, tempo_bpm, use_flats=use_flats,
+                    strum_envelope=strum_env, time_signature=time_sig,
                 )
             else:  # notes
                 from ..theory.postprocess import postprocess_note_events
@@ -486,7 +525,7 @@ def _pipeline_tail(
                     note_events,
                     tempo_bpm=tempo_bpm,
                     beat_times=norm_beats,
-                    time_signature="4/4",
+                    time_signature=time_sig,
                     guitar_tuning=s.GUITAR_TUNING,
                 )
                 score = quant.score
@@ -506,6 +545,8 @@ def _pipeline_tail(
                 "tempo_bpm": float(tempo_bpm),
                 "beat_times": [float(b) for b in (norm_beats if norm_beats is not None else [])],
                 "raw_beat_times": [float(b) for b in raw_beats],
+                "downbeat_times": [float(b) for b in downbeats],
+                "time_signature": time_sig,
                 "offset": float(offset),
                 "stem_source": stem_source,
                 "errors": errors,
@@ -551,7 +592,7 @@ def _pipeline_tail(
                     out / "result.musicxml",
                     score,
                     tempo_bpm=tempo_bpm,
-                    time_signature="4/4",
+                    time_signature=time_sig,
                     key_signature_fifths=key_sig.fifths if key_sig else None,
                     title=job_id,
                     instrument="guitar",
@@ -582,7 +623,7 @@ def _pipeline_tail(
     return JobResult(
         job_id=job_id,
         tempo_bpm=float(tempo_bpm),
-        time_signature="4/4",
+        time_signature=time_sig,
         key_signature=key_sig,
         chords=chords,
         transcription_backend=mode_result.backend,

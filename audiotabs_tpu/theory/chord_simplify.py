@@ -166,8 +166,10 @@ def pick_best_beat_times(note_events, beat_times, *, time_signature: str = "4/4"
         return beat_times
 
     events = sorted(note_events, key=lambda e: e.start_time_s)
-    if len(events) > 600:
-        top = sorted(events, key=lambda e: -e.amplitude)[:600]
+    if len(events) > 250:
+        # selection only needs a representative sample; keep the loudest 250
+        # in temporal order (the reference samples 600, pipeline.py:1577-1581)
+        top = sorted(events, key=lambda e: -e.amplitude)[:250]
         events = sorted(top, key=lambda e: e.start_time_s)
 
     candidates = [beats]
