@@ -25,16 +25,45 @@ from .templates import build_chord_library, emission_probs
 CHROMA_FPS = 10.0
 
 
+def _pool_matrix(t_in: int, t_out: int) -> np.ndarray:
+    """[t_out, t_in] mean-pooling matrix for frame-rate conversion."""
+    m = np.zeros((t_out, t_in), dtype=np.float32)
+    step = t_in / max(t_out, 1)
+    for i in range(t_out):
+        a, b = int(i * step), max(int((i + 1) * step), int(i * step) + 1)
+        m[i, a:b] = 1.0 / (b - a)
+    return m
+
+
+def salience_chroma(frame_post, t_out: int):
+    """AMT frame posteriors [T_amt, 88] → chord chroma [12, t_out] at 10 fps.
+
+    The fundamental-gated salience already suppresses harmonics, which makes
+    its pitch-class folding a far cleaner chord feature than raw CQT chroma
+    (validated against the reference's golden chord timeline).
+    """
+    fold = np.zeros((88, 12), dtype=np.float32)
+    for p in range(88):
+        fold[p, (21 + p) % 12] = 1.0
+    pcs = frame_post @ jnp.asarray(fold)  # [T_amt, 12]
+    pool = jnp.asarray(_pool_matrix(int(frame_post.shape[0]), t_out))
+    return (pool @ pcs).T  # [12, t_out]
+
+
 def chroma_features(y, sr: int, fps: float = CHROMA_FPS, harmonic_input: bool = True):
     """[12, T] L2-normalized chroma + [T] energy at `fps` frames/sec.
 
     `y` should already be the harmonic component when harmonic_input is True
-    (the pipeline separates it once and reuses it across stages).
+    (the pipeline separates it once and reuses it across stages). The chroma
+    is the pitch-class folding of the fundamental-gated AMT salience.
     """
+    from ..models.basicpitch import salience_posteriors
+
     hop = int(round(sr / fps))
     yd = jnp.asarray(y)
-    C = cqt(yd, sr, hop=hop, n_bins=72, bins_per_octave=12, fmin=32.70319566257483)
-    chroma = chroma_from_cqt(C, bins_per_octave=12, norm=False)  # [12, T]
+    t_out = yd.shape[-1] // hop + 1
+    _onset, frame_post = salience_posteriors(yd, sr)
+    chroma = salience_chroma(frame_post, t_out)  # [12, T]
     norm = jnp.linalg.norm(chroma, axis=0, keepdims=True)
     chroma_norm = chroma / (norm + 1e-9)
     energy = rms(yd, frame_length=2048, hop=hop)

@@ -49,14 +49,18 @@ def fused_analysis(y, sr: int, use_pallas: bool | None = None, switch_penalty: f
     out["amt_onset"] = onset_post
     out["amt_frame"] = frame_post
 
-    # 4. chord chroma + template emissions at 10 fps
+    # 4. chord chroma + template emissions at 10 fps. The chroma is the
+    # pitch-class folding of the AMT salience (harmonics already suppressed)
+    # — markedly closer to the reference's DeepChroma chord timeline than
+    # raw CQT chroma on the golden artifacts.
+    from ..chords.extract import salience_chroma
+
     hop = int(round(sr / CHROMA_FPS))
-    C = cqt(y_harm, sr, hop=hop, n_bins=72, bins_per_octave=12)
-    chroma = chroma_from_cqt(C, bins_per_octave=12, norm=False)
+    t_ch = y.shape[-1] // hop + 1
+    chroma = salience_chroma(frame_post, t_ch)  # [12, t_ch]
     chroma_n = chroma / (jnp.linalg.norm(chroma, axis=0, keepdims=True) + 1e-9)
     energy = rms(y_harm, 2048, hop)
-    n = chroma_n.shape[-1]
-    energy = energy[:n] / (jnp.max(energy[:n]) + 1e-9)
+    energy = energy[:t_ch] / (jnp.max(energy[:t_ch]) + 1e-9)
     out["chroma"] = chroma_n
     out["chord_energy"] = energy
     labels, templates = build_chord_library("majmin7")

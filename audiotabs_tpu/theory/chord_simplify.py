@@ -185,6 +185,12 @@ def pick_best_beat_times(note_events, beat_times, *, time_signature: str = "4/4"
                 events, tempo_bpm=120.0, beat_times=cand, time_signature=time_signature
             )
             cost = score_complexity_cost(q.score)
+            # tempo prior: the tracker's range is 55-215 BPM; a candidate
+            # grid implying a tempo outside it (e.g. half-time of a slow
+            # song) must beat the in-range grid by a clear margin
+            implied = tempo_from_beat_times(cand)
+            if implied and not (55.0 <= implied <= 215.0):
+                cost *= 2.0
         except Exception:
             continue
         if best_cost is None or cost < best_cost:
