@@ -127,23 +127,48 @@ def export_chords_midi(
     *,
     tempo_bpm: float = 120.0,
     beat_times: Sequence[float] | None = None,
+    per_beat: bool = False,
 ) -> None:
-    """Block-chord MIDI, one chord voicing per segment (reference:
-    backend/app/services/midi/export.py:65-161)."""
+    """Block-chord MIDI (reference: backend/app/services/midi/export.py:65-161).
+
+    per_beat=False: one sustained voicing per chord segment.
+    per_beat=True: the voicing is re-struck at every beat inside the segment
+    (requires beat_times), the reference's per-beat comping variant.
+    """
     from ..theory.vocabulary import NOTE_TO_PC, QUALITY_INTERVALS, split_chord_label
 
     sec_per_q = 60.0 / max(1.0, tempo_bpm)
+
+    def voicing(label):
+        root, quality, bass = split_chord_label(label)
+        if root is None:
+            return []
+        base = 48 + NOTE_TO_PC[root]  # voicings around C3
+        pitches = [base + iv for iv in QUALITY_INTERVALS.get(quality or "maj", QUALITY_INTERVALS["maj"])]
+        if bass:
+            pitches.append(36 + NOTE_TO_PC[bass])
+        return pitches
+
     notes: list[tuple[float, float, int, int]] = []
     for seg in chords:
-        root, quality, bass = split_chord_label(seg.label)
-        if root is None:
+        pitches = voicing(seg.label)
+        if not pitches:
             continue
-        start_q = float(seg.start) / sec_per_q
-        dur_q = max(0.25, (float(seg.end) - float(seg.start)) / sec_per_q)
-        root_pc = NOTE_TO_PC[root]
-        base = 48 + root_pc  # voicings around C3
-        for iv in QUALITY_INTERVALS.get(quality or "maj", QUALITY_INTERVALS["maj"]):
-            notes.append((start_q, dur_q, base + iv, 72))
-        if bass:
-            notes.append((start_q, dur_q, 36 + NOTE_TO_PC[bass], 80))
+        if per_beat and beat_times is not None and len(beat_times) > 1:
+            import numpy as _np
+
+            bt = _np.asarray(beat_times, dtype=float)
+            strikes = bt[(bt >= seg.start) & (bt < seg.end)]
+            if strikes.size == 0:
+                strikes = _np.asarray([seg.start])
+            for i, t in enumerate(strikes):
+                end = strikes[i + 1] if i + 1 < len(strikes) else seg.end
+                dur_q = max(0.125, (float(end) - float(t)) * 0.9 / sec_per_q)
+                for p in pitches:
+                    notes.append((float(t) / sec_per_q, dur_q, p, 72))
+        else:
+            start_q = float(seg.start) / sec_per_q
+            dur_q = max(0.25, (float(seg.end) - float(seg.start)) / sec_per_q)
+            for p in pitches:
+                notes.append((start_q, dur_q, p, 72))
     write_midi_notes(path, notes, tempo_bpm=tempo_bpm)
