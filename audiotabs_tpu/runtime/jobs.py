@@ -67,6 +67,32 @@ class JobManager:
                 _LOG.warning("celery dispatch failed (%s); using file queue", exc)
         (self.queue_dir / job_id).write_text(str(time.time()))
 
+    def requeue_stale_claims(self, max_age_s: float = 1800.0) -> int:
+        """Return claims older than max_age_s to the queue.
+
+        A killed worker leaves its claim file behind (the reference loses
+        such jobs outright — Celery acks early, SURVEY.md §5); re-queuing
+        stale claims gives at-least-once processing.
+        """
+        requeued = 0
+        now = time.time()
+        for claim in (self.queue_dir / "claimed").iterdir():
+            if not claim.is_file():
+                continue
+            if now - claim.stat().st_mtime < max_age_s:
+                continue
+            job_id = claim.name.rsplit(".", 1)[0]
+            status = self.storage.get_status(job_id).get("status")
+            if status in ("done", "error"):
+                claim.unlink(missing_ok=True)
+                continue
+            try:
+                os.rename(claim, self.queue_dir / job_id)
+                requeued += 1
+            except OSError:
+                pass
+        return requeued
+
     def claim_next(self, worker_id: str) -> str | None:
         """Atomically claim the oldest queued job (None when queue empty)."""
         entries = sorted(

@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     manager = JobManager(args.data_dir)
     worker_id = f"{os.uname().nodename}-{os.getpid()}"
+    n = manager.requeue_stale_claims()
+    if n:
+        _LOG.info("requeued %d stale claims", n)
     _LOG.info("worker %s watching %s", worker_id, manager.queue_dir)
 
     stop = {"flag": False}

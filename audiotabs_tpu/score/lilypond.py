@@ -88,20 +88,19 @@ def build_lilypond_score(
         measures = ["N"]
 
     chord_tokens = []
-    slash_tokens = []
     for i, lbl in enumerate(measures):
         chord_tokens.append(chord_to_lily(lbl, "1"))
-        slash_tokens.append("b'4 b' b' b'")
         if (i + 1) % 4 == 0:
             chord_tokens.append("\n    ")
-            slash_tokens.append("|\n    ")
-        else:
-            slash_tokens.append("|")
 
-    marks = "".join(
-        f"\\mark \\markup {{ \\box \\bold {chr(65 + i // 8)} }} " for i in range(0)
-    )
-    del marks
+    # Real-Book rehearsal marks every 8 bars (reference: lilypond.py:166-316)
+    slash_lines = []
+    for i in range(len(measures)):
+        if i > 0 and i % 8 == 0:
+            letter = chr(65 + (i // 8 - 1) % 26)
+            slash_lines.append(f'\\mark \\markup {{ \\box \\bold "{letter}" }}')
+        slash_lines.append("b'4 b' b' b' |")
+    slash_body = "\n    ".join(slash_lines)
 
     key_ly = ""
     if key_signature is not None:
@@ -125,7 +124,7 @@ slashes = {{
     {key_ly}
     \\time {beats_per_bar}/4
     \\tempo 4 = {int(round(tempo_bpm))}
-    \\repeat unfold {len(measures)} {{ b'4 b' b' b' }}
+    {slash_body}
 }}
 
 \\score {{
