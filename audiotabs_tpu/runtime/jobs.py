@@ -103,6 +103,7 @@ class JobManager:
             claimed = self.queue_dir / "claimed" / f"{entry.name}.{worker_id}"
             try:
                 os.rename(entry, claimed)
+                os.utime(claimed)  # claim age starts NOW (rename keeps mtime)
                 return entry.name
             except OSError:
                 continue  # another worker won the rename race
