@@ -15,8 +15,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..decode.viterbi import viterbi_constant_switch
-from ..ops.chroma import chroma_from_cqt
-from ..ops.cqt import cqt
 from ..ops.features import rms
 from ..schemas import ChordSegment
 from .segments import beat_sync_majority, frames_to_segments

@@ -18,8 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .spectral import frame
-
 
 @lru_cache(maxsize=8)
 def cqt_kernel_bank(

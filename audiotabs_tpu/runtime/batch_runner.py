@@ -11,7 +11,6 @@ the host work overlaps the device work of the next batch.
 
 from __future__ import annotations
 
-import json
 import logging
 import time
 from concurrent.futures import ThreadPoolExecutor

@@ -27,8 +27,6 @@ def fused_analysis(y, sr: int, use_pallas: bool | None = None, switch_penalty: f
     from ..chords.templates import build_chord_library, emission_probs
     from ..models.basicpitch import salience_posteriors
     from ..models.beat_rnn import beat_activation
-    from ..ops.chroma import chroma_from_cqt
-    from ..ops.cqt import cqt
     from ..ops.features import rms, spectral_centroid, spectral_rolloff
     from ..ops.hpss import harmonic as harmonic_op
     from ..ops.onset import onset_detect_frames, onset_strength

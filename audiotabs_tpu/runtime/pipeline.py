@@ -246,7 +246,6 @@ def _pipeline_tail(
     downbeats = np.asarray([], dtype=np.float32)
     with timer("beats"):
         try:
-            from ..decode import estimate_tempo
             from ..decode.dbn_beats import dbn_beat_track
 
             t100 = int(true_len / sr * 100)

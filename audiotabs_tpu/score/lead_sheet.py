@@ -14,7 +14,6 @@ import numpy as np
 
 from ..schemas import ScoreData, ScoreItem, ScoreMeasure
 from .musicxml import export_musicxml
-from .segments import Segment
 
 
 def export_lead_sheet_musicxml(

@@ -59,7 +59,7 @@ def _sub(parent, tag, text=None, **attrs):
 
 
 def _harmony_element(label: str) -> Optional[ET.Element]:
-    from ..theory.vocabulary import NOTE_TO_PC, split_chord_label
+    from ..theory.vocabulary import split_chord_label
 
     root, quality, bass = split_chord_label(label)
     if root is None:
