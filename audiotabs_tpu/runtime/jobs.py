@@ -77,11 +77,14 @@ class JobManager:
         requeued = 0
         now = time.time()
         for claim in (self.queue_dir / "claimed").iterdir():
-            if not claim.is_file():
-                continue
-            if now - claim.stat().st_mtime < max_age_s:
-                continue
-            job_id = claim.name.rsplit(".", 1)[0]
+            try:
+                if not claim.is_file() or now - claim.stat().st_mtime < max_age_s:
+                    continue
+            except OSError:
+                continue  # another worker removed it between iterdir and stat
+            # job ids are uuid4().hex (dot-free); worker ids may contain dots
+            # (FQDN hostnames), so split from the LEFT
+            job_id = claim.name.split(".", 1)[0]
             status = self.storage.get_status(job_id).get("status")
             if status in ("done", "error"):
                 claim.unlink(missing_ok=True)
@@ -95,9 +98,14 @@ class JobManager:
 
     def claim_next(self, worker_id: str) -> str | None:
         """Atomically claim the oldest queued job (None when queue empty)."""
+        def _mtime(p):
+            try:
+                return p.stat().st_mtime
+            except OSError:
+                return float("inf")  # raced away; rename below will skip it
+
         entries = sorted(
-            (p for p in self.queue_dir.iterdir() if p.is_file()),
-            key=lambda p: p.stat().st_mtime,
+            (p for p in self.queue_dir.iterdir() if p.is_file()), key=_mtime
         )
         for entry in entries:
             claimed = self.queue_dir / "claimed" / f"{entry.name}.{worker_id}"
@@ -113,6 +121,15 @@ class JobManager:
         return sum(1 for p in self.queue_dir.iterdir() if p.is_file())
 
     # ---- execution (workers/tasks.py:17-38 semantics) ----
+
+    def touch_claim(self, job_id: str, worker_id: str) -> None:
+        """Heartbeat: refresh the claim mtime so long-running jobs aren't
+        stolen by requeue_stale_claims."""
+        claim = self.queue_dir / "claimed" / f"{job_id}.{worker_id}"
+        try:
+            os.utime(claim)
+        except OSError:
+            pass
 
     def process_job(self, job_id: str) -> dict:
         job_dir = self.storage.data_dir / "jobs" / job_id

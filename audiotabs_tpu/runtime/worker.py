@@ -52,7 +52,21 @@ def main(argv: list[str] | None = None) -> int:
             continue
         _LOG.info("processing %s", job_id)
         t0 = time.perf_counter()
-        result = manager.process_job(job_id)
+        # heartbeat thread: keep the claim fresh while the pipeline runs
+        import threading
+
+        done_evt = threading.Event()
+
+        def _heartbeat():
+            while not done_evt.wait(300.0):
+                manager.touch_claim(job_id, worker_id)
+
+        hb = threading.Thread(target=_heartbeat, daemon=True)
+        hb.start()
+        try:
+            result = manager.process_job(job_id)
+        finally:
+            done_evt.set()
         _LOG.info("job %s → %s in %.1fs", job_id, result.get("status"), time.perf_counter() - t0)
     return 0
 

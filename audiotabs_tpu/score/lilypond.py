@@ -87,19 +87,23 @@ def build_lilypond_score(
     if not measures:
         measures = ["N"]
 
+    # whole-measure chord duration for the meter (4/4 → "1", 3/4 → "2.", 2/4 → "2")
+    bar_dur = {4: "1", 3: "2.", 2: "2"}.get(beats_per_bar, "1")
     chord_tokens = []
     for i, lbl in enumerate(measures):
-        chord_tokens.append(chord_to_lily(lbl, "1"))
+        chord_tokens.append(chord_to_lily(lbl, bar_dur))
         if (i + 1) % 4 == 0:
             chord_tokens.append("\n    ")
 
-    # Real-Book rehearsal marks every 8 bars (reference: lilypond.py:166-316)
+    # Real-Book rehearsal marks every 8 bars starting at bar 1
+    # (reference: engraving/lilypond.py:224-232 — mark A at bar 1, B at 9, …)
+    slash_bar = "b'4 " + " ".join(["b'"] * (beats_per_bar - 1)) + " |"
     slash_lines = []
     for i in range(len(measures)):
-        if i > 0 and i % 8 == 0:
-            letter = chr(65 + (i // 8 - 1) % 26)
+        if i % 8 == 0:
+            letter = chr(65 + (i // 8) % 26)
             slash_lines.append(f'\\mark \\markup {{ \\box \\bold "{letter}" }}')
-        slash_lines.append("b'4 b' b' b' |")
+        slash_lines.append(slash_bar)
     slash_body = "\n    ".join(slash_lines)
 
     key_ly = ""

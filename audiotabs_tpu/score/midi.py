@@ -8,6 +8,8 @@ raw SMF type-1 serializer: a tempo track plus one note track.
 from __future__ import annotations
 
 import struct
+
+import numpy as np
 from pathlib import Path
 from typing import Iterable, Sequence
 
@@ -140,14 +142,18 @@ def export_chords_midi(
     sec_per_q = 60.0 / max(1.0, tempo_bpm)
 
     def voicing(label):
+        """→ [(pitch, velocity)]: chord tones at 72, the slash bass accented at 80."""
         root, quality, bass = split_chord_label(label)
         if root is None:
             return []
         base = 48 + NOTE_TO_PC[root]  # voicings around C3
-        pitches = [base + iv for iv in QUALITY_INTERVALS.get(quality or "maj", QUALITY_INTERVALS["maj"])]
+        notes = [
+            (base + iv, 72)
+            for iv in QUALITY_INTERVALS.get(quality or "maj", QUALITY_INTERVALS["maj"])
+        ]
         if bass:
-            pitches.append(36 + NOTE_TO_PC[bass])
-        return pitches
+            notes.append((36 + NOTE_TO_PC[bass], 80))
+        return notes
 
     notes: list[tuple[float, float, int, int]] = []
     for seg in chords:
@@ -155,20 +161,18 @@ def export_chords_midi(
         if not pitches:
             continue
         if per_beat and beat_times is not None and len(beat_times) > 1:
-            import numpy as _np
-
-            bt = _np.asarray(beat_times, dtype=float)
+            bt = np.asarray(beat_times, dtype=float)
             strikes = bt[(bt >= seg.start) & (bt < seg.end)]
             if strikes.size == 0:
-                strikes = _np.asarray([seg.start])
+                strikes = np.asarray([seg.start])
             for i, t in enumerate(strikes):
                 end = strikes[i + 1] if i + 1 < len(strikes) else seg.end
                 dur_q = max(0.125, (float(end) - float(t)) * 0.9 / sec_per_q)
-                for p in pitches:
-                    notes.append((float(t) / sec_per_q, dur_q, p, 72))
+                for p, vel in pitches:
+                    notes.append((float(t) / sec_per_q, dur_q, p, vel))
         else:
             start_q = float(seg.start) / sec_per_q
             dur_q = max(0.25, (float(seg.end) - float(seg.start)) / sec_per_q)
-            for p in pitches:
-                notes.append((start_q, dur_q, p, 72))
+            for p, vel in pitches:
+                notes.append((start_q, dur_q, p, vel))
     write_midi_notes(path, notes, tempo_bpm=tempo_bpm)
