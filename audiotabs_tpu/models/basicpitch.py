@@ -132,24 +132,19 @@ def cnn_apply(params: dict, hc):
     )
 
 
-def load_params(path: str | None = None) -> dict | None:
-    path = path or os.environ.get("BASICPITCH_WEIGHTS", "")
+@lru_cache(maxsize=2)
+def _load_params_cached(path: str) -> dict | None:
     if not path or not os.path.exists(path):
         return None
     data = np.load(path)
     return {k: jnp.asarray(v) for k, v in data.items()}
 
 
-_PARAMS: dict | None = None
+def load_params(path: str | None = None) -> dict | None:
+    return _load_params_cached(path or os.environ.get("BASICPITCH_WEIGHTS", ""))
 
 
 # ------------------------------------------------------- salience variant --
-
-
-@lru_cache(maxsize=2)
-def _harmonic_weights() -> np.ndarray:
-    w = np.array([0.4 if h < 1 else 0.9 ** (i - 1) for i, h in enumerate(HARMONICS)], dtype=np.float32)
-    return w / w.sum()
 
 
 @partial(jax.jit, static_argnames=("sr",))
@@ -213,7 +208,8 @@ def notes_from_posteriors(
     peaks[-1] &= False
 
     def track(t0: int, p: int) -> int:
-        """Extend a note from frame t0 while the frame posterior stays on."""
+        """Extend a note from frame t0 while the frame posterior stays on.
+        Returns the EXCLUSIVE end frame (one past the last on-frame)."""
         t = t0
         gap = 0
         while t < T:
@@ -222,6 +218,7 @@ def notes_from_posteriors(
             else:
                 gap += 1
                 if gap > gap_tolerance_frames:
+                    t += 1  # uniform exit: t is one past the examined frame
                     break
             t += 1
         return t - gap
@@ -259,6 +256,7 @@ def notes_from_posteriors(
                 else:
                     gap += 1
                     if gap > gap_tolerance_frames:
+                        s -= 1  # uniform exit: s is one past the examined frame
                         break
                 s -= 1
             s = min(t0, s + gap)  # undo the tolerated gap, never past the seed
@@ -305,7 +303,7 @@ def transcribe_polyphonic(
 ) -> list[NoteEvent]:
     """Full polyphonic transcription (CNN if weights loaded, else salience)."""
     yd = jnp.asarray(np.asarray(y, dtype=np.float32))
-    p = params if params is not None else (_PARAMS or load_params())
+    p = params if params is not None else load_params()
     if p is not None:
         onset, frame_post, _ = cnn_apply(p, hcqt(yd, sr))
     else:

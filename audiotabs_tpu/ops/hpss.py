@@ -38,7 +38,7 @@ def hpss_masks(S_mag, kernel_harm: int = 31, kernel_perc: int = 31, power: float
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and S_mag.ndim == 2:
+    if use_pallas and S_mag.ndim == 2 and kernel_harm % 2 == 1 and kernel_perc % 2 == 1:
         from .pallas_median import median_filter_lastaxis_pallas
 
         harm = median_filter_lastaxis_pallas(S_mag, kernel_harm)

@@ -37,8 +37,10 @@ def _sliding_reduce(x, pre: int, post: int, kind: str):
     w = xp[..., idx]
     if kind == "max":
         return jnp.max(w, axis=-1)
-    # mean ignoring the padded region near the edges
-    count = jnp.minimum(jnp.arange(x.shape[-1]) + pre + 1, x.shape[-1] - jnp.arange(x.shape[-1]) + pre)
+    # mean ignoring the padded region near the edges: window [t-pre, t+post]
+    # holds min(t, pre) + min(T-1-t, post) + 1 valid samples
+    t_idx = jnp.arange(x.shape[-1])
+    count = jnp.minimum(t_idx + post + 1, x.shape[-1] - t_idx + pre)
     count = jnp.minimum(count, win).astype(x.dtype)
     return jnp.sum(w, axis=-1) / count
 

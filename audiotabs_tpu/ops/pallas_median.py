@@ -56,6 +56,8 @@ def median_filter_lastaxis_pallas(x, win: int = 31, interpret: bool = False):
     """Median filter along the last axis of [F, T] with edge replication."""
     if win >= HALO:
         raise ValueError(f"win must be < {HALO}")
+    if win % 2 == 0:
+        raise ValueError("win must be odd (even-window median averages two values; use the XLA path)")
     F, T = x.shape
     half = win // 2
     Fp = ((F + TILE_F - 1) // TILE_F) * TILE_F

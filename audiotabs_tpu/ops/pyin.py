@@ -176,9 +176,9 @@ def _banded_viterbi(log_obs_v, log_obs_u, band: int, switch_prob: float):
     def back(carry, bp):
         b, is_v = carry
         av, au, nv_from_u, nu_from_v = bp
-        # previous layer
+        # previous layer, then the bin backpointer FROM THAT layer
         prev_is_v = jnp.where(is_v, ~nv_from_u[b], nu_from_v[b])
-        delta = jnp.where(is_v, av[b], au[b])
+        delta = jnp.where(prev_is_v, av[b], au[b])
         prev_b = jnp.clip(b + delta, 0, av.shape[0] - 1)
         return (prev_b, prev_is_v), (b, is_v)
 
@@ -199,7 +199,7 @@ def pyin(
     hop: int = 512,
     bins_per_semitone: int = 5,
     switch_prob: float = 0.01,
-    max_semitones_per_frame: float = 12.0,
+    max_semitones_per_frame: float = 5.0,
 ):
     """Pitch-track y → (f0 [T] in Hz, voiced_flag [T] bool, voiced_prob [T])."""
     obs, voiced_prob = _pyin_observations(
@@ -210,7 +210,9 @@ def pyin(
     log_obs_v = jnp.log(obs + eps)
     # unvoiced evidence is spread uniformly
     log_obs_u = jnp.log(jnp.maximum(1.0 - voiced_prob, eps) / n_bins)[:, None] * jnp.ones_like(obs)
-    band = int(max_semitones_per_frame * bins_per_semitone / 12.0 * 4)
+    # band width honors the parameter directly; the 5-semitone default
+    # matches librosa pYIN's 35.92 oct/s transition rate at ~86 fps
+    band = int(round(max_semitones_per_frame * bins_per_semitone))
     band = max(1, min(band, n_bins - 1))
     bins, voiced = _banded_viterbi(log_obs_v, log_obs_u, band, switch_prob)
     f0 = fmin * 2.0 ** (bins.astype(jnp.float32) / (12.0 * bins_per_semitone))

@@ -280,7 +280,10 @@ def quantize_note_events_to_score(
         sec_per_q = 60.0 / tempo
         wstarts, wends = starts / sec_per_q, ends / sec_per_q
 
+    # snap the pickup to the 1/12 grid (LCM of the 1/4 and 1/3 grids) so
+    # the first measure's remaining length decomposes exactly into tokens
     pickup_quarters = max(0.0, -float(wstarts.min()))
+    pickup_quarters = round(pickup_quarters * 12.0) / 12.0
     wstarts += pickup_quarters
     wends += pickup_quarters
 
