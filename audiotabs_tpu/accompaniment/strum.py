@@ -118,9 +118,14 @@ def detect_strum_onsets(
     if y.size == 0:
         return np.asarray([], dtype=np.float32)
 
+    def _normalize(e):
+        # percentile normalization: one dominant transient must not squash
+        # every other strum below the detection delta (max-norm did)
+        scale = np.percentile(e, 99) if e.size else 1.0
+        return np.clip(e / (scale + 1e-9), 0.0, 3.0)
+
     if envelope is not None:
-        env_np = np.asarray(envelope, dtype=np.float32)
-        env_np = env_np / (env_np.max() + 1e-9)
+        env_np = _normalize(np.asarray(envelope, dtype=np.float32))
     else:
         # bucket-pad so arbitrary segment lengths reuse one compiled program
         true_len = len(y)
@@ -129,8 +134,7 @@ def detect_strum_onsets(
         if padded != true_len:
             y = np.pad(y, (0, padded - true_len), mode="wrap")
         env = _onset_strength_median(jnp.asarray(y), sr, hop)
-        env_np = np.asarray(env[: true_len // hop + 1])
-        env_np = env_np / (env_np.max() + 1e-9)
+        env_np = _normalize(np.asarray(env[: true_len // hop + 1]))
 
     frames = _peak_pick_np(env_np, delta=onset_delta, wait=3)
     if frames.size == 0:
