@@ -106,9 +106,12 @@ def extract_chords_deep(
     path, conf = crf_chords.decode(crf_params, feats)
     path_np, conf_np = np.asarray(path).copy(), np.asarray(conf)
 
-    # beat-sync smoothing reuses the same majority vote
-    emissions_proxy = np.zeros((crf_chords.N_STATES, path_np.shape[0]), dtype=np.float32)
-    emissions_proxy[path_np, np.arange(path_np.shape[0])] = conf_np
+    # beat-sync smoothing reuses the same majority vote; the proxy carries
+    # the frame confidence at EVERY state so frames relabeled by the vote
+    # keep their confidence instead of reading 0
+    emissions_proxy = np.broadcast_to(
+        conf_np[None, :], (crf_chords.N_STATES, path_np.shape[0])
+    ).copy()
     path_np, conf_np = beat_sync_majority(path_np, emissions_proxy, beat_times, CHROMA_FPS)
 
     times = np.arange(path_np.shape[0], dtype=np.float32) / CHROMA_FPS

@@ -75,7 +75,11 @@ def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None):
         batch = np.concatenate([batch, np.zeros((pad_rows,) + batch.shape[1:], batch.dtype)])
 
     fn = shard_map(
-        jax.vmap(lambda y: fused_analysis(y, sr, use_pallas=False)),
+        jax.vmap(
+            lambda y: fused_analysis(
+                y, sr, use_pallas=False, switch_penalty=config.settings.SWITCH_PENALTY
+            )
+        ),
         mesh=mesh,
         in_specs=P("data", None),
         out_specs=P("data"),
@@ -118,8 +122,14 @@ def transcribe_batch(
     t0 = time.perf_counter()
     results: list[JobResult] = []
 
+    # unique job ids even when different directories share a filename
+    stems = [p.stem for p in paths]
+    job_ids = [
+        stem if stems.count(stem) == 1 else f"{stem}-{i}" for i, stem in enumerate(stems)
+    ]
+
     def one(i: int) -> JobResult:
-        job_id = paths[i].stem
+        job_id = job_ids[i]
         job_dir = out_root / "jobs" / job_id
         for sub in ("input", "work", "out"):
             (job_dir / sub).mkdir(parents=True, exist_ok=True)

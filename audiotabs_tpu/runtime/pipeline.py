@@ -169,7 +169,7 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
         timer=timer,
         errors=errors,
         stem_source=stem_source,
-        beat_act_from_feats=(feats is not None and beat_source is y_pad),
+        beat_act_from_feats=(feats is not None and beat_source is stem),
         beat_source=beat_source,
     )
 
@@ -354,11 +354,10 @@ def _pipeline_tail(
     norm_beats, offset = normalize_beat_times(beat_times if beat_times is not None and len(beat_times) else None)
     if tempo_bpm <= 0:
         tempo_bpm = 120.0
-    if offset:
-        base_events = [
-            NoteEvent(e.start_time_s - offset, e.end_time_s - offset, e.pitch_midi, e.velocity, e.amplitude)
-            for e in base_events
-        ]
+    # NOTE: base_events/chords stay in RAW time through mode processing
+    # (strum onsets and content segments are raw-time); the -offset shift is
+    # applied to the mode OUTPUTS below, matching the reference's ordering
+    # (pipeline.py:1824-1895 processes raw, then shifts).
 
     # ---- 8. chords (pipeline.py:1767-1774) ----
     chords: list[ChordSegment] = []
@@ -366,7 +365,8 @@ def _pipeline_tail(
     with timer("chords"):
         try:
             backend = s.CHORD_DETECTION_BACKEND
-            if feats is not None and backend == "template":
+            if feats is not None and backend == "template" and s.CHORD_VOCAB == "majmin7":
+                # (fused emissions/path are built with the majmin7 library)
                 from ..chords.extract import CHROMA_FPS
                 from ..chords.segments import beat_sync_majority, frames_to_segments
                 from ..chords.templates import build_chord_library
@@ -414,11 +414,6 @@ def _pipeline_tail(
                     beat_times=raw_beats if raw_beats.size else None,
                     backend=backend,
                 )
-            if offset:
-                chords = [
-                    ChordSegment(start=c.start - offset, end=c.end - offset, label=c.label, confidence=c.confidence)
-                    for c in chords
-                ]
         except Exception as exc:
             errors.append(f"chords: {exc}")
             _LOG.warning("chord extraction failed: %s", exc)
@@ -440,7 +435,7 @@ def _pipeline_tail(
             chords = simplify_chord_segments(
                 chords,
                 chroma=chroma,
-                times=(np.asarray(chroma_times) - offset) if chroma_times is not None else None,
+                times=np.asarray(chroma_times) if chroma_times is not None else None,
                 min_confidence=0.02,
                 min_duration=1.0,
                 seventh_ratio=0.5,
@@ -479,7 +474,7 @@ def _pipeline_tail(
                 if feats is not None and "strum_envelope" in feats:
                     strum_env = np.asarray(feats["strum_envelope"], dtype=np.float32)
                 mode_result = run_guitar_mode(
-                    y_harm, sr, chords, norm_beats, tempo_bpm,
+                    y_harm, sr, chords, beat_times, tempo_bpm,
                     base_note_events=base_events, use_flats=use_flats,
                     window_sec=s.CONTENT_ANALYSIS_WINDOW_SEC, hop_sec=s.CONTENT_ANALYSIS_HOP_SEC,
                     precomputed_content=pre_content,
@@ -495,7 +490,7 @@ def _pipeline_tail(
                         : true_len // 512 + 1
                     ]
                 mode_result = run_accompaniment_mode(
-                    y_harm, sr, acc_chords, norm_beats, tempo_bpm, use_flats=use_flats,
+                    y_harm, sr, acc_chords, beat_times, tempo_bpm, use_flats=use_flats,
                     strum_envelope=strum_env, time_signature=time_sig,
                 )
             else:  # notes
@@ -510,6 +505,16 @@ def _pipeline_tail(
             _LOG.warning("mode %s failed: %s; using raw events", mode, exc)
 
     note_events = mode_result.note_events
+    if offset:
+        note_events = [
+            NoteEvent(e.start_time_s - offset, e.end_time_s - offset, e.pitch_midi, e.velocity, e.amplitude)
+            for e in note_events
+        ]
+        chords = [
+            ChordSegment(start=c.start - offset, end=c.end - offset, label=c.label, confidence=c.confidence)
+            for c in chords
+        ]
+        mode_result.strum_onsets = [t - offset for t in mode_result.strum_onsets]
 
     # ---- 11. quantize (pipeline.py:1916-1927) ----
     score = mode_result.score_override

@@ -138,10 +138,13 @@ class _Handler(BaseHTTPRequestHandler):
         except ValueError as exc:
             return self._json(413, {"detail": str(exc)})
 
-        if "inline=1" in self.path:
-            self.manager.run_inline(job_id)
-        else:
-            self.manager.enqueue(job_id)
+        from urllib.parse import parse_qs, urlparse
+
+        query = parse_qs(urlparse(self.path).query)
+        if query.get("inline", ["0"])[0] == "1":
+            outcome = self.manager.run_inline(job_id)
+            return self._json(200, {"job_id": job_id, "status": outcome.get("status", "error")})
+        self.manager.enqueue(job_id)
         return self._json(200, {"job_id": job_id, "status": "queued"})
 
 

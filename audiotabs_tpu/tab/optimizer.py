@@ -95,14 +95,9 @@ def _candidate_from_positions(pitches: list[int], positions: list[tuple[int, int
     if any(f == 0 for _, f in positions) and base <= 4:
         cost -= 0.6
 
-    # register penalty: prefer the string whose open pitch naturally carries
-    # the note (low fret) and penalize far-from-natural string choices
-    for pitch, (s, f) in zip(pitches, positions):
-        idx = 6 - s
-        if 0 <= idx < len(tuning):
-            natural_fret = pitch - tuning[idx]
-            cost += abs(natural_fret - f) * 0.05
-            cost += 0.0  # string term is zero when idx maps back to s
+    # (candidates from pitch_to_fret_options always satisfy
+    #  fret == pitch - open_pitch, so no register term is needed here; the
+    #  base-fret and open-bonus terms above carry the low-position preference)
     # string-order penalty: higher pitches should sit on higher strings
     if len(pitches) >= 2:
         order = sorted(range(len(pitches)), key=lambda i: pitches[i])

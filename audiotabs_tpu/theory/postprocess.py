@@ -189,10 +189,12 @@ def _assign_voices(events: list[NoteEvent], onset_window_s: float) -> dict[int, 
                     best_cost, best = cost, v_i
             if best is None:
                 p = events[idx].pitch_midi
-                voices.append({"last": p, "min": p, "max": p, "idx": [idx]})
+                # idx is appended by the assignments loop below; the new
+                # voice is marked used so a later note in this same onset
+                # group can't also land on it
+                voices.append({"last": p, "min": p, "max": p, "idx": []})
                 best = len(voices) - 1
-            else:
-                used.add(best)
+            used.add(best)
             assignments.append((best, idx))
         for v_i, idx in assignments:
             v = voices[v_i]
