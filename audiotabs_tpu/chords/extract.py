@@ -78,33 +78,42 @@ def extract_chords_deep(
     min_segment_sec: float = 0.25,
     beat_times: np.ndarray | None = None,
     precomputed_chroma: np.ndarray | None = None,
+    precomputed_path: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, list[ChordSegment]]:
     """Deep backend: (deep chroma DNN | CQT chroma) features → CRF Viterbi
     (capability parity with reference deep_chords.py:233-274; the CRF uses
     converted weights when present, else analytic template emissions).
-    Pass ``precomputed_chroma`` [12, T] to reuse the fused-analysis chroma."""
+    Pass ``precomputed_chroma`` [12, T] to reuse the fused-analysis chroma,
+    and ``precomputed_path`` (path [T], conf [T]) when the CRF decode
+    already ran inside the fused program — then this function is pure host
+    post-processing (zero device dispatches)."""
     from ..models import crf_chords
     from ..models.deepchroma import load_params as load_dc
 
     dc_params = load_dc()
-    if dc_params is not None:
-        from ..models.deepchroma import deep_chroma_apply
-
-        chroma_np = deep_chroma_apply(dc_params, y, sr)  # [12, T]
-        chroma = jnp.asarray(chroma_np)
-    elif precomputed_chroma is not None:
-        chroma = jnp.asarray(precomputed_chroma)
+    if dc_params is None and precomputed_chroma is not None and precomputed_path is not None:
         chroma_np = np.asarray(precomputed_chroma)
+        path_np = np.asarray(precomputed_path[0]).copy()
+        conf_np = np.asarray(precomputed_path[1])
     else:
-        chroma, _energy = chroma_features(y, sr)
-        chroma_np = np.asarray(chroma)
+        if dc_params is not None:
+            from ..models.deepchroma import deep_chroma_apply
 
-    crf_params = crf_chords.load_params() or crf_chords.template_emission_params()
-    feats = jnp.transpose(chroma, (1, 0))  # [T, 12]
-    norm = jnp.linalg.norm(feats, axis=1, keepdims=True)
-    feats = feats / jnp.maximum(norm, 1e-9)
-    path, conf = crf_chords.decode(crf_params, feats)
-    path_np, conf_np = np.asarray(path).copy(), np.asarray(conf)
+            chroma_np = deep_chroma_apply(dc_params, y, sr)  # [12, T]
+            chroma = jnp.asarray(chroma_np)
+        elif precomputed_chroma is not None:
+            chroma = jnp.asarray(precomputed_chroma)
+            chroma_np = np.asarray(precomputed_chroma)
+        else:
+            chroma, _energy = chroma_features(y, sr)
+            chroma_np = np.asarray(chroma)
+
+        crf_params = crf_chords.load_params() or crf_chords.template_emission_params()
+        feats = jnp.transpose(chroma, (1, 0))  # [T, 12]
+        norm = jnp.linalg.norm(feats, axis=1, keepdims=True)
+        feats = feats / jnp.maximum(norm, 1e-9)
+        path, conf = crf_chords.decode(crf_params, feats)
+        path_np, conf_np = np.asarray(path).copy(), np.asarray(conf)
 
     # beat-sync smoothing reuses the same majority vote; the proxy carries
     # the frame confidence at EVERY state so frames relabeled by the vote

@@ -168,7 +168,28 @@ def salience_posteriors(y, sr: int):
     # collapse 3 bins/semitone → 88 semitones (max over sub-bins)
     sal = sal.reshape(N_SEMITONES, BINS_PER_SEMITONE, -1).max(axis=1)  # [88, T]
 
-    frame_post = jnp.clip(sal / (jnp.percentile(sal, 99.5) + 1e-2), 0.0, 1.0)
+    # Local normalization: a loud chorus must not push the frame posteriors
+    # of a quiet verse below threshold (whole-song percentile did exactly
+    # that). The normalizer is a bidirectional exponential-decay max
+    # envelope over ~0.75 s block maxima — it tracks the local level,
+    # relaxes ~20 dB within a few seconds of a loud section, and is floored
+    # at 5% of the song peak so true silence isn't amplified into notes.
+    stride = 64  # frames ≈ 0.75 s at ~86 fps
+    T = sal.shape[-1]
+    nblk = max(1, -(-T // stride))
+    s_pad = jnp.pad(sal, ((0, 0), (0, nblk * stride - T)))
+    m = s_pad.reshape(sal.shape[0], nblk, stride).max(axis=(0, 2))  # [nblk]
+    decay = 0.6  # per block → -20 dB in ~3.4 s
+
+    def _env(carry, x):
+        e = jnp.maximum(x, decay * carry)
+        return e, e
+
+    _, fwd = jax.lax.scan(_env, 0.0, m)
+    _, bwd = jax.lax.scan(_env, 0.0, m, reverse=True)
+    norm = jnp.maximum(jnp.maximum(fwd, bwd), 0.05 * jnp.max(sal))
+    norm_t = jnp.repeat(norm, stride)[:T]  # [T]
+    frame_post = jnp.clip(sal / (norm_t[None, :] + 1e-2), 0.0, 1.0)
 
     diff = frame_post[:, 1:] - frame_post[:, :-1]
     onset_post = jnp.concatenate([frame_post[:, :1], jnp.maximum(diff, 0.0)], axis=1) * 2.0

@@ -139,7 +139,7 @@ def load_params(path: str) -> dict | None:
 
     if not path or not os.path.exists(path):
         return None
-    data = np.load(path, allow_pickle=True)
+    data = np.load(path)  # flat npz of arrays — no pickle needed (or allowed)
     layers = []
     i = 0
     while f"l{i}_fwd_W" in data:

@@ -74,10 +74,17 @@ def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None):
     if pad_rows:
         batch = np.concatenate([batch, np.zeros((pad_rows,) + batch.shape[1:], batch.dtype)])
 
+    # same weight-free HPSS separation fallback as the single-song pipeline
+    # (htdemucs weights are not applied on the batch path)
+    separate = config.settings.ENABLE_DEMUCS
     fn = shard_map(
         jax.vmap(
             lambda y: fused_analysis(
-                y, sr, use_pallas=False, switch_penalty=config.settings.SWITCH_PENALTY
+                y,
+                sr,
+                use_pallas=False,
+                switch_penalty=config.settings.SWITCH_PENALTY,
+                separate=separate,
             )
         ),
         mesh=mesh,

@@ -20,27 +20,42 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("sr", "use_pallas", "switch_penalty"))
-def fused_analysis(y, sr: int, use_pallas: bool | None = None, switch_penalty: float = 2.5):
-    """y [T] float32 → dict of every device-computed feature the pipeline needs."""
+@partial(jax.jit, static_argnames=("sr", "use_pallas", "switch_penalty", "separate"))
+def fused_analysis(
+    y,
+    sr: int,
+    use_pallas: bool | None = None,
+    switch_penalty: float = 2.5,
+    separate: bool = False,
+):
+    """y [T] float32 → dict of every device-computed feature the pipeline needs.
+
+    ``separate=True`` activates the weight-free separation fallback: the
+    HPSS percussive component stands in for the reference's drums stem as
+    the beat-tracking source (reference pipeline.py:1649-1652 feeds the
+    Demucs drums stem to beat tracking) while the harmonic component is the
+    transcription stem — all inside the same single-dispatch program.
+    """
     from ..chords.extract import CHROMA_FPS
     from ..chords.templates import build_chord_library, emission_probs
     from ..models.basicpitch import salience_posteriors
     from ..models.beat_rnn import beat_activation
     from ..ops.features import rms, spectral_centroid, spectral_rolloff
-    from ..ops.hpss import harmonic as harmonic_op
+    from ..ops.hpss import hpss as hpss_op
     from ..ops.onset import onset_detect_frames, onset_strength
     from ..ops.spectral import stft
     from ..ops.hpss import hpss_masks
 
     out = {}
 
-    # 1. harmonic residual (shared by AMT + chords)
-    y_harm = harmonic_op(y, use_pallas=use_pallas)
+    # 1. harmonic/percussive split (harmonic shared by AMT + chords; the
+    # percussive residual is the drums proxy when separate=True)
+    y_harm, y_perc = hpss_op(y, use_pallas=use_pallas)
     out["y_harm"] = y_harm
 
-    # 2. beat activation at 100 fps (on the full mix)
-    out["beat_activation"] = beat_activation(y, sr, 100)
+    # 2. beat activation at 100 fps (percussive component when separating,
+    # mirroring drums-driven beat tracking; else the full mix)
+    out["beat_activation"] = beat_activation(y_perc if separate else y, sr, 100)
 
     # 3. AMT posteriors on the harmonic component
     onset_post, frame_post = salience_posteriors(y_harm, sr)
@@ -73,6 +88,17 @@ def fused_analysis(y, sr: int, use_pallas: bool | None = None, switch_penalty: f
     )
     out["chord_path"] = chord_path
     out["chord_conf"] = chord_conf
+
+    # 4b'. CRF chord decode (the default "deep" backend) also completes
+    # on-device so the default config stays ONE dispatch per song. CRF
+    # weights are resolved at trace time (template-derived emissions when
+    # no trained checkpoint is present).
+    from ..models import crf_chords
+
+    crf_params = crf_chords.load_params() or crf_chords.template_emission_params()
+    crf_path, crf_conf = crf_chords.decode(crf_params, chroma_n.T)
+    out["crf_path"] = crf_path
+    out["crf_conf"] = crf_conf
 
     # 4c. DBN beat decode (decode/dbn_beats.py) — Viterbi + backtrack
     # on-device; the host only picks activation peaks per beat window

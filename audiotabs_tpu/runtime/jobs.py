@@ -131,6 +131,15 @@ class JobManager:
         except OSError:
             pass
 
+    def release_claim(self, job_id: str, worker_id: str) -> None:
+        """Remove a finished claim so claimed/ doesn't grow unboundedly and
+        stale-claim scans stay O(in-flight jobs)."""
+        claim = self.queue_dir / "claimed" / f"{job_id}.{worker_id}"
+        try:
+            claim.unlink()
+        except OSError:
+            pass
+
     def process_job(self, job_id: str) -> dict:
         job_dir = self.storage.data_dir / "jobs" / job_id
         input_path = self.input_path(job_id)

@@ -97,6 +97,7 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
     stem = y_pad
     beat_source = y_pad
     stem_source = "mix"
+    hpss_fallback = False
     if s.ENABLE_DEMUCS:
         try:
             with timer("separation"):
@@ -111,6 +112,14 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
                             break
                     if "drums" in stems:
                         beat_source = np.asarray(stems["drums"])
+                else:
+                    # weight-free fallback: the fused program's HPSS split
+                    # stands in for Demucs — harmonic → transcription stem,
+                    # percussive → beat source (the reference's drums-for-
+                    # beats wiring, pipeline.py:1649-1652) at zero extra
+                    # device dispatches (separate=True below).
+                    hpss_fallback = True
+                    stem_source = "hpss_harmonic"
         except Exception as exc:
             errors.append(f"separation: {exc}")
             _LOG.warning("separation failed: %s", exc)
@@ -134,7 +143,12 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
             )
             with trace_ctx:
                 feats = jax.device_get(
-                    fused_analysis(jnp.asarray(stem), sr, switch_penalty=s.SWITCH_PENALTY)
+                    fused_analysis(
+                        jnp.asarray(stem),
+                        sr,
+                        switch_penalty=s.SWITCH_PENALTY,
+                        separate=hpss_fallback,
+                    )
                 )
         except Exception as exc:
             errors.append(f"analysis: {exc}")
@@ -208,7 +222,7 @@ def run_pipeline_from_features(
         job_id=job_id or job_dir.name,
         timer=timer,
         errors=errors,
-        stem_source="mix",
+        stem_source="hpss_harmonic" if config.settings.ENABLE_DEMUCS else "mix",
         beat_act_from_feats=True,
         beat_source=None,
     )
@@ -392,15 +406,22 @@ def _pipeline_tail(
                 from ..chords.extract import CHROMA_FPS, extract_chords_deep
 
                 pre = None
+                pre_path = None
                 if feats is not None:
                     t_ch = int(true_len / sr * CHROMA_FPS) + 1
                     pre = np.asarray(feats["chroma"])[:, :t_ch]
+                    if "crf_path" in feats:
+                        pre_path = (
+                            np.asarray(feats["crf_path"])[:t_ch],
+                            np.asarray(feats["crf_conf"])[:t_ch],
+                        )
                 chroma, chroma_times, chords = extract_chords_deep(
                     y_harm,
                     sr,
                     min_segment_sec=s.MIN_SEGMENT_SEC,
                     beat_times=raw_beats if raw_beats.size else None,
                     precomputed_chroma=pre,
+                    precomputed_path=pre_path,
                 )
             else:
                 from ..chords import extract_chords

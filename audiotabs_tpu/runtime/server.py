@@ -31,6 +31,7 @@ from email.parser import BytesParser
 from email.policy import default as email_default
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from .. import config
 from .jobs import JobManager
 
 _ARTIFACTS = {
@@ -69,7 +70,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
-        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Access-Control-Allow-Origin", config.settings.FRONTEND_ORIGIN or "null")
         self.end_headers()
         self.wfile.write(body)
 
@@ -112,7 +113,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(200)
         self.send_header("Content-Type", mime)
         self.send_header("Content-Length", str(len(data)))
-        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Access-Control-Allow-Origin", config.settings.FRONTEND_ORIGIN or "null")
         self.end_headers()
         self.wfile.write(data)
 
@@ -120,8 +121,6 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path.split("?")[0] != "/v1/jobs":
             return self._json(404, {"detail": "not found"})
         length = int(self.headers.get("Content-Length", 0))
-        from .. import config
-
         if length > config.settings.MAX_UPLOAD_MB * 1024 * 1024:
             return self._json(413, {"detail": "upload too large"})
         body = self.rfile.read(length)

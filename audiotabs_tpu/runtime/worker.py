@@ -43,7 +43,17 @@ def main(argv: list[str] | None = None) -> int:
     signal.signal(signal.SIGTERM, lambda *_: stop.update(flag=True))
     signal.signal(signal.SIGINT, lambda *_: stop.update(flag=True))
 
+    requeue_every_s = 300.0
+    last_requeue = time.monotonic()
     while not stop["flag"]:
+        # periodic stale-claim scan: a job claimed by a crashed worker must
+        # not wait for a worker RESTART to be recovered (steady-state
+        # deployments never restart)
+        if time.monotonic() - last_requeue >= requeue_every_s:
+            last_requeue = time.monotonic()
+            n = manager.requeue_stale_claims()
+            if n:
+                _LOG.info("requeued %d stale claims", n)
         job_id = manager.claim_next(worker_id)
         if job_id is None:
             if args.once:
@@ -67,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
             result = manager.process_job(job_id)
         finally:
             done_evt.set()
+            manager.release_claim(job_id, worker_id)
         _LOG.info("job %s → %s in %.1fs", job_id, result.get("status"), time.perf_counter() - t0)
     return 0
 

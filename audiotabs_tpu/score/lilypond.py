@@ -83,6 +83,9 @@ def build_lilypond_score(
     beats_per_bar: int = 4,
 ) -> str:
     """Render a Real-Book-style .ly source string."""
+    # the title is the job id (CLI jobs: the input filename stem) — escape
+    # LilyPond string syntax so a quote/backslash can't break the source
+    title = title.replace("\\", "\\\\").replace('"', '\\"')
     measures = _chords_per_measure(chords, tempo_bpm, beat_times, beats_per_bar)
     if not measures:
         measures = ["N"]

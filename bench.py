@@ -65,7 +65,7 @@ def main() -> int:
     wav = tmp / "bench.wav"
     write_wav(wav, audio, sr)
 
-    def run_once(tag: str) -> float:
+    def run_once(tag: str) -> tuple[float, dict]:
         job = tmp / "jobs" / tag
         for sub in ("input", "work", "out"):
             (job / sub).mkdir(parents=True, exist_ok=True)
@@ -73,13 +73,30 @@ def main() -> int:
         result = run_pipeline(job, wav)
         wall = time.perf_counter() - t0
         assert result.score is not None
-        return wall
+        prof = json.loads((job / "out" / "profile.json").read_text())
+        return wall, prof
 
-    run_once("warmup")  # compile
-    walls = [run_once(f"run{i}") for i in range(3)]
-    wall = min(walls)
+    # Warm up until timings stabilize: the first run compiles; further runs
+    # re-warm the remote executable cache (its eviction is the main source
+    # of non-reproducible numbers on the relay-attached TPU).
+    prev = run_once("warmup0")[0]
+    for i in range(1, 4):
+        cur = run_once(f"warmup{i}")[0]
+        if cur < prev * 1.2 and cur < duration / 5:  # stable and sane
+            break
+        prev = cur
+
+    runs = [run_once(f"run{i}") for i in range(3)]
+    wall, prof = min(runs, key=lambda r: r[0])
 
     audio_sec_per_sec = duration / wall
+    # per-stage RTF (BASELINE.md: "RTF for the Demucs and CQT stages"):
+    # "analysis" is the fused device program (CQT/HPSS/AMT/beats/chords in
+    # one dispatch — the CQT-stage superset), "separation" the Demucs-or-
+    # fallback stage; host stages reported alongside.
+    stages = {
+        k: round(duration / v, 2) for k, v in sorted(prof.items()) if v > 1e-4
+    }
     shutil.rmtree(tmp, ignore_errors=True)
 
     print(
@@ -89,6 +106,9 @@ def main() -> int:
                 "value": round(audio_sec_per_sec, 3),
                 "unit": "audio_s/s/chip",
                 "vs_baseline": round(audio_sec_per_sec / 1.0, 3),
+                "stages_rtf": stages,
+                "wall_s": round(wall, 3),
+                "all_runs_s": [round(r[0], 3) for r in runs],
             }
         )
     )

@@ -12,19 +12,18 @@ def test_mesh_construction():
     assert mesh2.shape == {"data": 4, "model": 2}
 
 
-def test_batch_analyze_sharded_8dev():
-    from audiotabs_tpu.parallel import batch_analyze_sharded, make_mesh
+def test_batched_fused_analysis_8dev():
+    from audiotabs_tpu.parallel import make_mesh
+    from audiotabs_tpu.runtime.batch_runner import batched_fused_analysis
 
     mesh = make_mesh((8,), ("data",))
     sr = 22050
-    rng = np.random.default_rng(0)
     t = np.arange(sr) / sr
     batch = np.stack(
         [0.3 * np.sin(2 * np.pi * 220 * 2 ** (i / 12.0) * t) for i in range(8)]
     ).astype(np.float32)
-    out = batch_analyze_sharded(batch, sr, mesh=mesh)
-    jax.block_until_ready(out)
-    em = np.asarray(out["emissions"])
+    out = batched_fused_analysis(batch, sr, mesh=mesh)
+    em = np.asarray(out["chord_emissions"])
     assert em.shape[0] == 8
     assert np.isfinite(em).all()
     # each song's emissions should be a valid distribution per frame

@@ -56,6 +56,10 @@ def test_pipeline_end_to_end(melody_wav, tmp_path, monkeypatch):
     assert (out / "note_events.csv").exists()
     bt = json.loads((out / "beat_times.json").read_text())
     assert "tempo_bpm" in bt and "beat_times" in bt
+    # separation is never a silent no-op: with ENABLE_DEMUCS on (default)
+    # and no htdemucs weights, the HPSS fallback must be active — beats are
+    # tracked on the percussive component, transcription on the harmonic
+    assert bt["stem_source"] == "hpss_harmonic"
     chords = json.loads((out / "chords.json").read_text())
     assert isinstance(chords, list)
     prof = json.loads((out / "profile.json").read_text())
