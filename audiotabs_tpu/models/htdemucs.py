@@ -4,16 +4,24 @@ Capability parity with the reference's separation stage (reference
 dependency N3, SURVEY.md §2a; invoked at backend/app/services/separation/
 demucs_sep.py:144-220 with shifts=2, split=True, overlap=0.25). This is a
 ground-up JAX implementation of the published HTDemucs architecture
-(Rouard et al. 2023; Défossez 2021 for the hybrid branches):
+(Rouard et al. 2023, "Hybrid Transformers for Music Source Separation"):
 
-  * spectral branch: STFT (n_fft 4096, hop 1024), complex-as-channels,
-    4 frequency-strided conv encoder layers (channels 48→384, stride 4)
-    each with a 2-block dilated-residual DConv;
-  * time branch: 4 stride-4 conv1d encoder layers with DConv residuals;
-  * cross-domain transformer (depth 5, 8 heads): per-layer self-attention
-    in each domain + bidirectional cross-attention, sinusoidal embeddings;
+  * spectral branch: STFT (n_fft 4096, hop 1024, demucs frame trimming),
+    complex-as-channels, 4 frequency-strided conv encoder layers
+    (channels 48→384, kernel 8 stride 4 over frequency) each followed by
+    a 2-block dilated-residual DConv running ALONG TIME (frequency folded
+    into the batch, matching torch htdemucs), then a 1×1 rewrite + GLU;
+    a learned scaled frequency embedding after the first layer;
+  * time branch: 4 stride-4 conv1d encoder layers with the same DConv/
+    rewrite structure;
+  * cross-domain transformer (5 layers, 8 heads, d=512 bottom channels
+    with separate per-branch channel up/downsamplers): even layers are
+    CROSS-attention between the branches, odd layers self-attention
+    (torch htdemucs classic_parity=1); pre-norm, LayerScale residuals,
+    per-layer output GroupNorm, LayerNorm+sinusoidal embeddings on entry
+    (2-D embedding for the (freq, time) spectral tokens, 1-D for time);
   * mirrored transposed-conv decoders with skip connections; the spectral
-    output is iSTFT'd and summed with the time-branch output per source.
+    CaC output is denormalized, iSTFT'd and summed with the time branch.
 
 Inference schedule (the reference's apply_model semantics re-expressed
 TPU-first): the song is cut into fixed SEGMENT_SEC windows with 25%
@@ -21,15 +29,17 @@ overlap, all windows are stacked into ONE batch and vmapped through the
 jitted forward, then combined by triangular-weighted overlap-add; shift
 augmentation adds extra batch rows instead of sequential passes.
 
-Weights: ``init_params`` gives a random init (shape-correct), and
-``convert_torch_state_dict``/``load_params`` port a released demucs
-checkpoint when one is available. Without weights ``separate_stems``
-returns None and the pipeline falls back to the full mix, matching the
-reference's demucs-unavailable path (demucs_sep.py:11-22).
+Weights: ``convert_torch_state_dict`` ports a torch HTDemucs state dict
+(the key naming of released demucs checkpoints; see
+models/torch_htdemucs.py for the torch mirror used to parity-test the
+conversion end-to-end). Without weights ``separate_stems`` returns None
+and the pipeline uses its HPSS fallback separation, matching the
+reference's demucs-unavailable degradation (demucs_sep.py:11-22).
 """
 
 from __future__ import annotations
 
+import math
 import os
 from functools import partial
 
@@ -53,55 +63,112 @@ KERNEL = 8
 STRIDE = 4
 T_LAYERS = 5
 T_HEADS = 8
+T_FF = 2048  # hidden_scale 4 × bottom channels 512
 BOTTOM_CHANNELS = 512
+DCONV_COMP = 8  # dconv hidden = channels // 8 (htdemucs dconv_comp)
+FREQ_EMB_SCALE = 0.2
 SEGMENT_SEC = 7.8
 OVERLAP = 0.25
 MODEL_SR = 44100
+ALIGN = 1024  # segment lengths are multiples of this (HOP; time branch needs 256)
+
+
+# ------------------------------------------------- sinusoidal embeddings ---
+
+
+def create_sin_embedding(length: int, dim: int, max_period: float = 10000.0) -> np.ndarray:
+    """demucs 1-D sinusoidal embedding: [length, dim] = [cos | sin]."""
+    pos = np.arange(length, dtype=np.float64)[:, None]
+    half = dim // 2
+    adim = np.arange(half, dtype=np.float64)[None, :]
+    phase = pos / (max_period ** (adim / max(half - 1, 1)))
+    return np.concatenate([np.cos(phase), np.sin(phase)], axis=-1).astype(np.float32)
+
+
+def create_2d_sin_embedding(
+    d_model: int, height: int, width: int, max_period: float = 10000.0
+) -> np.ndarray:
+    """demucs 2-D sinusoidal embedding → [d_model, height, width]."""
+    if d_model % 4 != 0:
+        raise ValueError("d_model must be divisible by 4")
+    pe = np.zeros((d_model, height, width), dtype=np.float64)
+    half = d_model // 2
+    div_term = np.exp(np.arange(0.0, half, 2) * -(math.log(max_period) / half))
+    pos_w = np.arange(width, dtype=np.float64)[:, None]  # [W, half/2]
+    pos_h = np.arange(height, dtype=np.float64)[:, None]
+    pe[0:half:2] = np.sin(pos_w * div_term).T[:, None, :].repeat(height, axis=1)
+    pe[1:half:2] = np.cos(pos_w * div_term).T[:, None, :].repeat(height, axis=1)
+    pe[half::2] = np.sin(pos_h * div_term).T[:, :, None].repeat(width, axis=2)
+    pe[half + 1 :: 2] = np.cos(pos_h * div_term).T[:, :, None].repeat(width, axis=2)
+    return pe.astype(np.float32)
 
 
 # ------------------------------------------------------------------ utils --
 
 
-def _he(key, shape, fan_in=None):
-    fan_in = fan_in or int(np.prod(shape[:-1]))
-    return jax.random.normal(key, shape) * np.sqrt(2.0 / fan_in)
-
-
-def _conv1d(x, w, b, stride=1, dilation=1, pad="SAME"):
-    """x [C_in, T] → [C_out, T']; w [K, C_in, C_out]."""
+def _conv1d(x, w, b, stride=1, dilation=1, pad=0):
+    """x [B, C_in, T] → [B, C_out, T']; w in torch layout [C_out, C_in, K]."""
     out = jax.lax.conv_general_dilated(
-        x[None],
+        x,
         w,
         window_strides=(stride,),
-        padding=pad,
+        padding=[(pad, pad)],
         rhs_dilation=(dilation,),
-        dimension_numbers=("NCH", "HIO", "NCH"),
-    )[0]
-    return out + b[:, None]
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out + b[None, :, None]
 
 
-def _convtr1d(x, w, b, stride=1):
-    """Transposed conv1d. x [C_in, T] → [C_out, T*stride]; w [K, C_out, C_in]."""
-    out = jax.lax.conv_transpose(
-        x[None],
+def _conv2d(x, w, b, stride=(1, 1), pad=((0, 0), (0, 0))):
+    """x [B, C_in, F, T]; w in torch layout [C_out, C_in, Kf, Kt]."""
+    out = jax.lax.conv_general_dilated(
+        x,
         w,
-        strides=(stride,),
-        padding="SAME",
-        dimension_numbers=("NCH", "HOI", "NCH"),
-    )[0]
-    return out + b[:, None]
+        window_strides=stride,
+        padding=pad,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out + b[None, :, None, None]
 
 
-def _group_norm(x, gamma, beta, groups=4, axis=0, eps=1e-5):
-    """GroupNorm over channel axis 0 of [C, ...]."""
-    C = x.shape[0]
-    g = x.reshape((groups, C // groups) + x.shape[1:])
-    mean = g.mean(axis=tuple(range(1, g.ndim)), keepdims=True)
-    var = g.var(axis=tuple(range(1, g.ndim)), keepdims=True)
-    g = (g - mean) * jax.lax.rsqrt(var + eps)
-    x = g.reshape(x.shape)
-    shape = (C,) + (1,) * (x.ndim - 1)
-    return x * gamma.reshape(shape) + beta.reshape(shape)
+def _convtr1d(x, w, b, stride):
+    """ConvTranspose1d, torch layout w [C_in, C_out, K], no padding:
+    out length = (T-1)*stride + K. Expressed as an input-dilated conv with
+    the kernel flipped and I/O swapped (exact ConvTranspose semantics)."""
+    K = w.shape[-1]
+    rhs = jnp.flip(jnp.transpose(w, (1, 0, 2)), axis=-1)  # [C_out, C_in, K]
+    out = jax.lax.conv_general_dilated(
+        x,
+        rhs,
+        window_strides=(1,),
+        padding=[(K - 1, K - 1)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out + b[None, :, None]
+
+
+def _convtr2d_freq(x, w, b, stride):
+    """ConvTranspose2d over the freq axis, torch layout w [C_in, C_out, K, 1]."""
+    K = w.shape[-2]
+    rhs = jnp.flip(jnp.transpose(w, (1, 0, 2, 3)), axis=-2)  # [C_out, C_in, K, 1]
+    out = jax.lax.conv_general_dilated(
+        x,
+        rhs,
+        window_strides=(1, 1),
+        padding=[(K - 1, K - 1), (0, 0)],
+        lhs_dilation=(stride, 1),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out + b[None, :, None, None]
+
+
+def _group_norm1(x, gamma, beta, eps=1e-5):
+    """GroupNorm(1, C) over [B, C, T]: normalize over (C, T) per sample."""
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + eps)
+    return xn * gamma[None, :, None] + beta[None, :, None]
 
 
 def _layer_norm(x, gamma, beta, eps=1e-5):
@@ -110,297 +177,349 @@ def _layer_norm(x, gamma, beta, eps=1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
 
 
+def _group_norm_tokens(x, gamma, beta, eps=1e-5):
+    """torch MyGroupNorm(1, C) on tokens [T, C]: normalize over ALL of (T, C)."""
+    mean = x.mean()
+    var = x.var()
+    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
 # ------------------------------------------------------------------ DConv --
 
 
-def _init_dconv(key, ch: int) -> dict:
-    """2-block dilated residual branch (demucs DConv, compress=4)."""
-    hidden = max(4, ch // 4)
-    keys = jax.random.split(key, 4)
-    blocks = []
-    for i in range(2):
-        blocks.append(
-            {
-                "w1": _he(keys[2 * i], (3, ch, hidden)),
-                "b1": jnp.zeros((hidden,)),
-                "gn1_g": jnp.ones((hidden,)),
-                "gn1_b": jnp.zeros((hidden,)),
-                "w2": _he(keys[2 * i + 1], (1, hidden, 2 * ch)),
-                "b2": jnp.zeros((2 * ch,)),
-                "gn2_g": jnp.ones((2 * ch,)),
-                "gn2_b": jnp.zeros((2 * ch,)),
-                "scale": jnp.full((ch,), 1e-3),  # LayerScale
-            }
-        )
-    return {"blocks": blocks}
-
-
 def _dconv(params: dict, x):
-    """x [C, T] → [C, T] with two dilated residual blocks."""
-    for i, blk in enumerate(params["blocks"]):
-        d = 2**i
-        h = _conv1d(x, blk["w1"], blk["b1"], dilation=d)
-        h = _group_norm(h, blk["gn1_g"], blk["gn1_b"])
-        h = jax.nn.gelu(h)
-        h = _conv1d(h, blk["w2"], blk["b2"])
-        h = _group_norm(h, blk["gn2_g"], blk["gn2_b"])
-        a, g = jnp.split(h, 2, axis=0)
-        h = a * jax.nn.sigmoid(g)  # GLU
-        x = x + blk["scale"][:, None] * h
+    """x [B, C, T] → [B, C, T]; 2 dilated residual blocks (htdemucs DConv:
+    hidden C//8, GroupNorm(1,·), GELU, 1×1 → GLU, LayerScale)."""
+    for j, blk in enumerate(params["blocks"]):
+        d = 2**j
+        h = _conv1d(x, blk["conv1_w"], blk["conv1_b"], dilation=d, pad=d)
+        h = _group_norm1(h, blk["gn1_g"], blk["gn1_b"])
+        h = jax.nn.gelu(h, approximate=False)
+        h = _conv1d(h, blk["conv2_w"], blk["conv2_b"])
+        h = _group_norm1(h, blk["gn2_g"], blk["gn2_b"])
+        a, g = jnp.split(h, 2, axis=1)
+        h = a * jax.nn.sigmoid(g)
+        x = x + blk["scale"][None, :, None] * h
     return x
 
 
 # -------------------------------------------------------------- enc / dec --
 
 
-def _init_enc(key, c_in: int, c_out: int, freq: bool) -> dict:
-    k1, k2, k3 = jax.random.split(key, 3)
-    return {
-        "conv_w": _he(k1, (KERNEL, c_in, c_out)),
-        "conv_b": jnp.zeros((c_out,)),
-        "rewrite_w": _he(k2, (1, c_out, 2 * c_out)),
-        "rewrite_b": jnp.zeros((2 * c_out,)),
-        "dconv": _init_dconv(k3, c_out),
-    }
+def _enc_freq(p: dict, x):
+    """HEncLayer(freq): x [C_in, F, T] → [C_out, F/4, T]."""
+    y = _conv2d(x[None], p["conv_w"], p["conv_b"], stride=(STRIDE, 1), pad=((2, 2), (0, 0)))
+    y = jax.nn.gelu(y, approximate=False)
+    # DConv along TIME, frequency folded into batch (torch htdemucs
+    # hdemucs.py HEncLayer reshapes [B,C,F,T] → [B*F,C,T] before DConv)
+    _, C, F, T = y.shape
+    yb = jnp.transpose(y[0], (1, 0, 2))  # [F, C, T]
+    yb = _dconv(p["dconv"], yb)
+    y = jnp.transpose(yb, (1, 0, 2))[None]  # [1, C, F, T]
+    z = _conv2d(y, p["rewrite_w"], p["rewrite_b"])
+    a, g = jnp.split(z, 2, axis=1)
+    return (a * jax.nn.sigmoid(g))[0]
 
 
-def _enc_layer(params: dict, x):
-    """x [C_in, L] → [C_out, L/STRIDE] (freq layers fold freq into L)."""
-    h = _conv1d(x, params["conv_w"], params["conv_b"], stride=STRIDE)
-    h = jax.nn.gelu(h)
-    h = _dconv(params["dconv"], h)
-    r = _conv1d(h, params["rewrite_w"], params["rewrite_b"])
-    a, g = jnp.split(r, 2, axis=0)
+def _enc_time(p: dict, x):
+    """HEncLayer(time): x [B, C_in, T] → [B, C_out, T/4]."""
+    y = _conv1d(x, p["conv_w"], p["conv_b"], stride=STRIDE, pad=2)
+    y = jax.nn.gelu(y, approximate=False)
+    y = _dconv(p["dconv"], y)
+    z = _conv1d(y, p["rewrite_w"], p["rewrite_b"])
+    a, g = jnp.split(z, 2, axis=1)
     return a * jax.nn.sigmoid(g)
 
 
-def _init_dec(key, c_in: int, c_out: int) -> dict:
-    k1, k2 = jax.random.split(key, 2)
-    return {
-        "rewrite_w": _he(k1, (3, c_in, 2 * c_in)),
-        "rewrite_b": jnp.zeros((2 * c_in,)),
-        "convtr_w": _he(k2, (KERNEL, c_out, c_in), fan_in=KERNEL * c_in),
-        "convtr_b": jnp.zeros((c_out,)),
-    }
-
-
-def _dec_layer(params: dict, x, skip, last: bool):
-    h = x + skip
-    r = _conv1d(h, params["rewrite_w"], params["rewrite_b"])
-    a, g = jnp.split(r, 2, axis=0)
-    h = a * jax.nn.sigmoid(g)
-    h = _convtr1d(h, params["convtr_w"], params["convtr_b"], stride=STRIDE)
+def _dec_freq(p: dict, x, skip, last: bool):
+    """HDecLayer(freq): x,skip [C, F, T] → [C_out, F*4, T]."""
+    h = (x + skip)[None]
+    z = _conv2d(h, p["rewrite_w"], p["rewrite_b"], pad=((1, 1), (0, 0)))
+    a, g = jnp.split(z, 2, axis=1)
+    y = a * jax.nn.sigmoid(g)
+    z = _convtr2d_freq(y, p["convtr_w"], p["convtr_b"], STRIDE)
+    z = z[:, :, 2:-2, :]  # torch trims pad=(kernel-stride)//2=2 from freq
     if not last:
-        h = jax.nn.gelu(h)
-    return h
+        z = jax.nn.gelu(z, approximate=False)
+    return z[0]
+
+
+def _dec_time(p: dict, x, skip, last: bool):
+    """HDecLayer(time): x,skip [B, C, T] → [B, C_out, T*4]."""
+    h = x + skip
+    z = _conv1d(h, p["rewrite_w"], p["rewrite_b"], pad=1)
+    a, g = jnp.split(z, 2, axis=1)
+    y = a * jax.nn.sigmoid(g)
+    z = _convtr1d(y, p["convtr_w"], p["convtr_b"], STRIDE)
+    z = z[:, :, 2:-2]
+    if not last:
+        z = jax.nn.gelu(z, approximate=False)
+    return z
 
 
 # ------------------------------------------------------------ transformer --
 
 
-def _init_attn(key, dim: int) -> dict:
-    k = jax.random.split(key, 4)
-    return {
-        "q_w": _he(k[0], (dim, dim)), "k_w": _he(k[1], (dim, dim)),
-        "v_w": _he(k[2], (dim, dim)), "o_w": _he(k[3], (dim, dim)),
-        "q_b": jnp.zeros((dim,)), "k_b": jnp.zeros((dim,)),
-        "v_b": jnp.zeros((dim,)), "o_b": jnp.zeros((dim,)),
-    }
-
-
-def _attn(params: dict, q_in, kv_in):
-    """q_in [Tq, D], kv_in [Tk, D] → [Tq, D] multi-head attention."""
+def _mha(p: dict, q_in, kv_in):
+    """q_in [Tq, D], kv_in [Tk, D] → [Tq, D]; weights pre-transposed for x@W."""
     D = q_in.shape[-1]
     hd = D // T_HEADS
-    q = (q_in @ params["q_w"] + params["q_b"]).reshape(-1, T_HEADS, hd)
-    k = (kv_in @ params["k_w"] + params["k_b"]).reshape(-1, T_HEADS, hd)
-    v = (kv_in @ params["v_w"] + params["v_b"]).reshape(-1, T_HEADS, hd)
-    logits = jnp.einsum("qhd,khd->hqk", q, k) / np.sqrt(hd)
+    q = (q_in @ p["q_w"] + p["q_b"]).reshape(-1, T_HEADS, hd)
+    k = (kv_in @ p["k_w"] + p["k_b"]).reshape(-1, T_HEADS, hd)
+    v = (kv_in @ p["v_w"] + p["v_b"]).reshape(-1, T_HEADS, hd)
+    logits = jnp.einsum("qhd,khd->hqk", q, k) / math.sqrt(hd)
     att = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("hqk,khd->qhd", att, v).reshape(-1, D)
-    return out @ params["o_w"] + params["o_b"]
+    return out @ p["o_w"] + p["o_b"]
 
 
-def _init_tlayer(key, dim: int, cross: bool) -> dict:
-    k = jax.random.split(key, 4)
-    p = {
-        "attn": _init_attn(k[0], dim),
-        "ln1_g": jnp.ones((dim,)), "ln1_b": jnp.zeros((dim,)),
-        "ln2_g": jnp.ones((dim,)), "ln2_b": jnp.zeros((dim,)),
-        "ff1_w": _he(k[1], (dim, 4 * dim)), "ff1_b": jnp.zeros((4 * dim,)),
-        "ff2_w": _he(k[2], (4 * dim, dim)), "ff2_b": jnp.zeros((dim,)),
-        "scale1": jnp.full((dim,), 1e-4), "scale2": jnp.full((dim,), 1e-4),
-    }
-    if cross:
-        p["ln_kv_g"] = jnp.ones((dim,))
-        p["ln_kv_b"] = jnp.zeros((dim,))
-    return p
+def _ff(p: dict, x):
+    h = jax.nn.gelu(x @ p["lin1_w"] + p["lin1_b"], approximate=False)
+    return h @ p["lin2_w"] + p["lin2_b"]
 
 
-def _tlayer(params: dict, x, kv=None):
-    """Pre-norm transformer layer with LayerScale; cross-attn when kv given."""
-    q = _layer_norm(x, params["ln1_g"], params["ln1_b"])
-    if kv is None:
-        src = q
-    else:
-        src = _layer_norm(kv, params["ln_kv_g"], params["ln_kv_b"])
-    x = x + params["scale1"] * _attn(params["attn"], q, src)
-    h = _layer_norm(x, params["ln2_g"], params["ln2_b"])
-    h = jax.nn.gelu(h @ params["ff1_w"] + params["ff1_b"]) @ params["ff2_w"] + params["ff2_b"]
-    return x + params["scale2"] * h
+def _self_layer(p: dict, x):
+    """torch MyTransformerEncoderLayer (norm_first, LayerScale, GroupNorm out)."""
+    x = x + p["gamma1"] * _mha(p, _layer_norm(x, p["norm1_g"], p["norm1_b"]),
+                               _layer_norm(x, p["norm1_g"], p["norm1_b"]))
+    x = x + p["gamma2"] * _ff(p, _layer_norm(x, p["norm2_g"], p["norm2_b"]))
+    return _group_norm_tokens(x, p["normout_g"], p["normout_b"])
 
 
-def _sin_embed(length: int, dim: int) -> np.ndarray:
-    pos = np.arange(length)[:, None]
-    i = np.arange(dim // 2)[None, :]
-    angle = pos / (10000 ** (2 * i / dim))
-    emb = np.zeros((length, dim), dtype=np.float32)
-    emb[:, 0::2] = np.sin(angle)
-    emb[:, 1::2] = np.cos(angle)
-    return emb
+def _cross_layer(p: dict, x, other):
+    """torch CrossTransformerEncoderLayer: q = norm1(x), kv = norm2(other)."""
+    q = _layer_norm(x, p["norm1_g"], p["norm1_b"])
+    kv = _layer_norm(other, p["norm2_g"], p["norm2_b"])
+    x = x + p["gamma1"] * _mha(p, q, kv)
+    x = x + p["gamma2"] * _ff(p, _layer_norm(x, p["norm3_g"], p["norm3_b"]))
+    return _group_norm_tokens(x, p["normout_g"], p["normout_b"])
 
 
-# ------------------------------------------------------------- full model --
+# ----------------------------------------------------------------- spec ----
 
 
-def init_params(rng: jax.Array, n_sources: int = 4, audio_channels: int = 2) -> dict:
-    """Shape-correct random init of the full HTDemucs parameter pytree."""
-    keys = jax.random.split(rng, 64)
-    ki = iter(keys)
-
-    chans = [CHANNELS * GROWTH**i for i in range(DEPTH)]  # 48, 96, 192, 384
-    spec_in = 2 * audio_channels  # complex-as-channels
-
-    p: dict = {}
-    p["spec_enc"] = []
-    p["time_enc"] = []
-    c_prev_s, c_prev_t = spec_in, audio_channels
-    for d in range(DEPTH):
-        p["spec_enc"].append(_init_enc(next(ki), c_prev_s, chans[d], freq=True))
-        p["time_enc"].append(_init_enc(next(ki), c_prev_t, chans[d], freq=False))
-        c_prev_s = c_prev_t = chans[d]
-
-    dim = chans[-1]
-    p["freq_emb"] = 0.2 * np.asarray(_sin_embed(NFFT // 2 // STRIDE**1, chans[0]))
-
-    p["bottom_up_w"] = _he(next(ki), (1, dim, BOTTOM_CHANNELS))
-    p["bottom_up_b"] = jnp.zeros((BOTTOM_CHANNELS,))
-    p["bottom_down_w"] = _he(next(ki), (1, BOTTOM_CHANNELS, dim))
-    p["bottom_down_b"] = jnp.zeros((dim,))
-
-    p["t_spec"] = [_init_tlayer(next(ki), BOTTOM_CHANNELS, cross=False) for _ in range(T_LAYERS)]
-    p["t_time"] = [_init_tlayer(next(ki), BOTTOM_CHANNELS, cross=False) for _ in range(T_LAYERS)]
-    p["t_cross_s"] = [_init_tlayer(next(ki), BOTTOM_CHANNELS, cross=True) for _ in range(T_LAYERS)]
-    p["t_cross_t"] = [_init_tlayer(next(ki), BOTTOM_CHANNELS, cross=True) for _ in range(T_LAYERS)]
-
-    p["spec_dec"] = []
-    p["time_dec"] = []
-    for d in reversed(range(DEPTH)):
-        c_out_s = n_sources * spec_in if d == 0 else chans[d - 1]
-        c_out_t = n_sources * audio_channels if d == 0 else chans[d - 1]
-        p["spec_dec"].append(_init_dec(next(ki), chans[d], c_out_s))
-        p["time_dec"].append(_init_dec(next(ki), chans[d], c_out_t))
-    return p
-
-
-def _spec(x):
-    """x [ch, L] → complex spec [ch, F=2048, T] (drop Nyquist bin)."""
+def _spec(x, L: int):
+    """demucs _spec: x [ch, L] → complex [ch, F=2048, T=ceil(L/HOP)]."""
     from ..ops.spectral import stft
 
-    z = stft(x, n_fft=NFFT, hop=HOP)  # [ch, 2049, T]
-    return z[..., :-1, :]
+    le = -(-L // HOP)
+    pad = HOP // 2 * 3
+    x = jnp.pad(x, ((0, 0), (pad, pad + le * HOP - L)), mode="reflect")
+    z = stft(x, n_fft=NFFT, hop=HOP)  # centered → [ch, 2049, T']
+    return z[..., :-1, 2 : 2 + le]
 
 
 def _ispec(z, length: int):
+    """demucs _ispec: complex [..., F=2048, T] → [..., length]."""
     from ..ops.spectral import istft
 
-    z = jnp.concatenate([z, jnp.zeros_like(z[..., :1, :])], axis=-2)
-    return istft(z, hop=HOP, length=length)
+    z = jnp.concatenate([z, jnp.zeros_like(z[..., :1, :])], axis=-2)  # Nyquist
+    z = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + [(2, 2)])  # 2 frames each side
+    pad = HOP // 2 * 3
+    le = HOP * int(math.ceil(length / HOP)) + 2 * pad
+    x = istft(z, hop=HOP, length=le)
+    return x[..., pad : pad + length]
+
+
+# ------------------------------------------------------------- full model --
 
 
 @partial(jax.jit, static_argnames=("n_sources", "audio_channels"))
 def forward(params: dict, mix, n_sources: int = 4, audio_channels: int = 2):
     """mix [audio_channels, L] → stems [n_sources, audio_channels, L].
 
-    L must be a multiple of STRIDE**DEPTH * HOP for clean shapes.
+    L must be a multiple of ALIGN (=1024). Mirrors torch HTDemucs.forward
+    (normalization, branch structure, CaC masking, denormalization).
     """
-    n_src = n_sources
+    S = n_sources
     a_ch = audio_channels
     L = mix.shape[-1]
 
-    mean = mix.mean()
-    std = mix.std() + 1e-5
-    mix_n = (mix - mean) / std
-
-    # --- spectral branch ---
-    z = _spec(mix_n)  # [ch, F, T]
+    z = _spec(mix, L)  # [ch, 2048, T]
     F, T = z.shape[-2], z.shape[-1]
-    x = jnp.concatenate([z.real, z.imag], axis=0)  # CaC [2*ch, F, T]
-    # fold frequency into the conv axis: treat F as the strided dim per layer
-    spec_skips = []
-    h = x
-    for d, enc in enumerate(params["spec_enc"]):
-        C, Fd, Td = h.shape
-        h2 = jnp.transpose(h, (2, 0, 1)).reshape(Td * C, Fd)  # conv over freq
-        h2 = h2.reshape(Td, C, Fd)
-        # run conv per time step by folding time into batch via vmap
-        out = jax.vmap(lambda u: _enc_layer(enc, u))(h2)  # [Td, C_out, Fd/4]
-        h = jnp.transpose(out, (1, 2, 0))  # [C_out, Fd/4, Td]
-        if d == 0:
-            emb = jnp.asarray(params["freq_emb"])[: h.shape[1]]  # [Fd/4, C]
-            h = h + jnp.transpose(emb, (1, 0))[:, :, None]
-        spec_skips.append(h)
+    # complex-as-channels, (channel-major, re/im-minor) like view_as_real
+    mag = jnp.stack([z.real, z.imag], axis=1).reshape(2 * a_ch, F, T)
+    mean = mag.mean()
+    std = mag.std(ddof=1)
+    x = (mag - mean) / (1e-5 + std)
 
-    # --- time branch ---
-    t_skips = []
-    ht = mix_n
-    for enc in params["time_enc"]:
-        ht = _enc_layer(enc, ht)
-        t_skips.append(ht)
+    meant = mix.mean()
+    stdt = mix.std(ddof=1)
+    xt = ((mix - meant) / (1e-5 + stdt))[None]  # [1, ch, L]
+
+    # --- encoders ---
+    saved, saved_t = [], []
+    for i in range(DEPTH):
+        xt = _enc_time(params["tencoder"][i], xt)
+        saved_t.append(xt)
+        x = _enc_freq(params["encoder"][i], x)
+        if i == 0:
+            emb = jnp.asarray(params["freq_emb"])[: x.shape[1]]  # [F, C]
+            x = x + FREQ_EMB_SCALE * emb.T[:, :, None]
+        saved.append(x)
 
     # --- cross-domain transformer ---
-    C = h.shape[0]
-    Fq, Ts = h.shape[1], h.shape[2]
-    tokens_s = h.reshape(C, Fq * Ts).T  # [Fq*Ts, C]
-    tokens_t = ht.T  # [Tt, C]
-    tokens_s = tokens_s @ params["bottom_up_w"][0] + params["bottom_up_b"]
-    tokens_t = tokens_t @ params["bottom_up_w"][0] + params["bottom_up_b"]
-    tokens_s = tokens_s + jnp.asarray(_sin_embed(tokens_s.shape[0], BOTTOM_CHANNELS))
-    tokens_t = tokens_t + jnp.asarray(_sin_embed(tokens_t.shape[0], BOTTOM_CHANNELS))
+    C, Fq, Ts = x.shape
+    tok_s = x.transpose(2, 1, 0).reshape(Ts * Fq, C)  # time-major "(t f) c"
+    tok_t = xt[0].T  # [Tt, C]
+    tok_s = tok_s @ params["up_s_w"].T + params["up_s_b"]
+    tok_t = tok_t @ params["up_t_w"].T + params["up_t_b"]
+    D = tok_s.shape[-1]
+
+    pe2 = create_2d_sin_embedding(D, Fq, Ts)  # [D, F, T]
+    pe2 = jnp.asarray(pe2.transpose(2, 1, 0).reshape(Ts * Fq, D))
+    tok_s = _layer_norm(tok_s, params["norm_in_g"], params["norm_in_b"]) + pe2
+    pe1 = jnp.asarray(create_sin_embedding(tok_t.shape[0], D))
+    tok_t = _layer_norm(tok_t, params["norm_in_t_g"], params["norm_in_t_b"]) + pe1
 
     for i in range(T_LAYERS):
-        tokens_s = _tlayer(params["t_spec"][i], tokens_s)
-        tokens_t = _tlayer(params["t_time"][i], tokens_t)
-        new_s = _tlayer(params["t_cross_s"][i], tokens_s, kv=tokens_t)
-        new_t = _tlayer(params["t_cross_t"][i], tokens_t, kv=tokens_s)
-        tokens_s, tokens_t = new_s, new_t
+        ls, lt = params["tlayers"][i], params["tlayers_t"][i]
+        if i % 2 == 1:  # classic_parity=1: odd layers are self-attention
+            tok_s = _self_layer(ls, tok_s)
+            tok_t = _self_layer(lt, tok_t)
+        else:  # even layers cross-attend between branches
+            old_s = tok_s
+            tok_s = _cross_layer(ls, tok_s, tok_t)
+            tok_t = _cross_layer(lt, tok_t, old_s)
 
-    tokens_s = tokens_s @ params["bottom_down_w"][0] + params["bottom_down_b"]
-    tokens_t = tokens_t @ params["bottom_down_w"][0] + params["bottom_down_b"]
-    h = tokens_s.T.reshape(C, Fq, Ts)
-    ht = tokens_t.T
+    tok_s = tok_s @ params["down_s_w"].T + params["down_s_b"]
+    tok_t = tok_t @ params["down_t_w"].T + params["down_t_b"]
+    x = tok_s.reshape(Ts, Fq, C).transpose(2, 1, 0)
+    xt = tok_t.T[None]
 
-    # --- spectral decoder ---
-    for i, dec in enumerate(params["spec_dec"]):
-        skip = spec_skips[DEPTH - 1 - i]
-        Cd, Fd, Td = h.shape
-        hh = jnp.transpose(h, (2, 0, 1))  # [Td, C, Fd]
-        sk = jnp.transpose(skip, (2, 0, 1))
-        out = jax.vmap(lambda u, s: _dec_layer(dec, u, s, last=(i == DEPTH - 1)))(hh, sk)
-        h = jnp.transpose(out, (1, 2, 0))
+    # --- decoders ---
+    for i in range(DEPTH):
+        last = i == DEPTH - 1
+        x = _dec_freq(params["decoder"][i], x, saved[DEPTH - 1 - i], last)
+        xt = _dec_time(params["tdecoder"][i], xt, saved_t[DEPTH - 1 - i], last)
 
-    # --- time decoder ---
-    for i, dec in enumerate(params["time_dec"]):
-        skip = t_skips[DEPTH - 1 - i]
-        ht = _dec_layer(dec, ht, skip, last=(i == DEPTH - 1))
+    # --- combine (torch tail: denorm, CaC → complex, iSTFT, sum) ---
+    x = x.reshape(S, 2 * a_ch, F, T) * std + mean
+    zout = x.reshape(S, a_ch, 2, F, T)
+    z_cplx = zout[:, :, 0] + 1j * zout[:, :, 1]
+    wav_spec = _ispec(z_cplx, L)  # [S, ch, L]
+    wav_time = xt[0].reshape(S, a_ch, L) * stdt + meant
+    return wav_spec + wav_time
 
-    # --- combine ---
-    spec_out = h.reshape(n_src, 2 * a_ch, F, T)
-    z_out = spec_out[:, :a_ch] + 1j * spec_out[:, a_ch:]
-    wav_spec = jax.vmap(lambda zz: _ispec(zz, L))(z_out)  # [S, ch, L]
-    wav_time = ht.reshape(n_src, a_ch, L)
-    out = wav_spec + wav_time
-    return out * std + mean
+
+# ------------------------------------------------------------ random init --
+
+
+def init_params(rng: jax.Array, n_sources: int = 4, audio_channels: int = 2) -> dict:
+    """Shape-correct random init of the full parameter pytree (used by shape
+    tests and as the training start; real weights come from the converter)."""
+    keys = iter(jax.random.split(rng, 256))
+
+    def he(shape, fan_in=None):
+        fan_in = fan_in or int(np.prod(shape[1:]))
+        return jax.random.normal(next(keys), shape) * np.sqrt(2.0 / fan_in)
+
+    def dconv_init(ch):
+        hid = max(4, ch // DCONV_COMP)
+        blocks = []
+        for _ in range(2):
+            blocks.append(
+                {
+                    "conv1_w": he((hid, ch, 3)),
+                    "conv1_b": jnp.zeros((hid,)),
+                    "gn1_g": jnp.ones((hid,)),
+                    "gn1_b": jnp.zeros((hid,)),
+                    "conv2_w": he((2 * ch, hid, 1)),
+                    "conv2_b": jnp.zeros((2 * ch,)),
+                    "gn2_g": jnp.ones((2 * ch,)),
+                    "gn2_b": jnp.zeros((2 * ch,)),
+                    "scale": jnp.full((ch,), 1e-3),
+                }
+            )
+        return {"blocks": blocks}
+
+    chans = [CHANNELS * GROWTH**i for i in range(DEPTH)]  # 48, 96, 192, 384
+    spec_in = 2 * audio_channels
+
+    p: dict = {"encoder": [], "tencoder": [], "decoder": [], "tdecoder": []}
+    c_s, c_t = spec_in, audio_channels
+    for d in range(DEPTH):
+        co = chans[d]
+        p["encoder"].append(
+            {
+                "conv_w": he((co, c_s, KERNEL, 1)),
+                "conv_b": jnp.zeros((co,)),
+                "rewrite_w": he((2 * co, co, 1, 1)),
+                "rewrite_b": jnp.zeros((2 * co,)),
+                "dconv": dconv_init(co),
+            }
+        )
+        p["tencoder"].append(
+            {
+                "conv_w": he((co, c_t, KERNEL)),
+                "conv_b": jnp.zeros((co,)),
+                "rewrite_w": he((2 * co, co, 1)),
+                "rewrite_b": jnp.zeros((2 * co,)),
+                "dconv": dconv_init(co),
+            }
+        )
+        c_s = c_t = co
+
+    for i, d in enumerate(reversed(range(DEPTH))):
+        ci = chans[d]
+        co_s = n_sources * spec_in if d == 0 else chans[d - 1]
+        co_t = n_sources * audio_channels if d == 0 else chans[d - 1]
+        p["decoder"].append(
+            {
+                "rewrite_w": he((2 * ci, ci, 3, 1)),
+                "rewrite_b": jnp.zeros((2 * ci,)),
+                "convtr_w": he((ci, co_s, KERNEL, 1), fan_in=ci * KERNEL),
+                "convtr_b": jnp.zeros((co_s,)),
+            }
+        )
+        p["tdecoder"].append(
+            {
+                "rewrite_w": he((2 * ci, ci, 3)),
+                "rewrite_b": jnp.zeros((2 * ci,)),
+                "convtr_w": he((ci, co_t, KERNEL), fan_in=ci * KERNEL),
+                "convtr_b": jnp.zeros((co_t,)),
+            }
+        )
+
+    p["freq_emb"] = jnp.asarray(
+        create_sin_embedding(NFFT // 2 // STRIDE, chans[0], max_period=10000.0)
+    )
+
+    dim = chans[-1]
+    D = BOTTOM_CHANNELS
+    p["up_s_w"] = he((D, dim))
+    p["up_s_b"] = jnp.zeros((D,))
+    p["up_t_w"] = he((D, dim))
+    p["up_t_b"] = jnp.zeros((D,))
+    p["down_s_w"] = he((dim, D))
+    p["down_s_b"] = jnp.zeros((dim,))
+    p["down_t_w"] = he((dim, D))
+    p["down_t_b"] = jnp.zeros((dim,))
+    p["norm_in_g"] = jnp.ones((D,))
+    p["norm_in_b"] = jnp.zeros((D,))
+    p["norm_in_t_g"] = jnp.ones((D,))
+    p["norm_in_t_b"] = jnp.zeros((D,))
+
+    def tlayer_init(cross: bool):
+        lp = {
+            "q_w": he((D, D)), "k_w": he((D, D)), "v_w": he((D, D)), "o_w": he((D, D)),
+            "q_b": jnp.zeros((D,)), "k_b": jnp.zeros((D,)),
+            "v_b": jnp.zeros((D,)), "o_b": jnp.zeros((D,)),
+            "norm1_g": jnp.ones((D,)), "norm1_b": jnp.zeros((D,)),
+            "norm2_g": jnp.ones((D,)), "norm2_b": jnp.zeros((D,)),
+            "lin1_w": he((D, T_FF)), "lin1_b": jnp.zeros((T_FF,)),
+            "lin2_w": he((T_FF, D)), "lin2_b": jnp.zeros((D,)),
+            "gamma1": jnp.full((D,), 1e-4), "gamma2": jnp.full((D,), 1e-4),
+            "normout_g": jnp.ones((D,)), "normout_b": jnp.zeros((D,)),
+        }
+        if cross:
+            lp["norm3_g"] = jnp.ones((D,))
+            lp["norm3_b"] = jnp.zeros((D,))
+        return lp
+
+    p["tlayers"] = [tlayer_init(cross=(i % 2 == 0)) for i in range(T_LAYERS)]
+    p["tlayers_t"] = [tlayer_init(cross=(i % 2 == 0)) for i in range(T_LAYERS)]
+    return p
 
 
 # -------------------------------------------------------- chunked apply ----
@@ -430,11 +549,11 @@ def apply_model(
     rng = rng or np.random.default_rng(0)
     ch, L = mix.shape
     seg = int(SEGMENT_SEC * sr)
-    seg = ((seg + STRIDE**DEPTH * HOP - 1) // (STRIDE**DEPTH * HOP)) * (STRIDE**DEPTH * HOP)
-    stride = int((1 - overlap) * seg)
+    seg = ((seg + ALIGN - 1) // ALIGN) * ALIGN
+    stride = max(ALIGN, int((1 - overlap) * seg) // ALIGN * ALIGN)
     max_shift = int(0.5 * sr)
 
-    n_sources = params["spec_dec"][-1]["convtr_w"].shape[1] // (2 * ch)
+    n_sources = params["tdecoder"][-1]["convtr_w"].shape[1] // ch
     out = np.zeros((n_sources, ch, L), dtype=np.float32)
     weight_total = np.zeros((L,), dtype=np.float32)
     tri = np.concatenate(
@@ -465,21 +584,152 @@ def apply_model(
 # ------------------------------------------------------------- weights -----
 
 
-def convert_torch_state_dict(state_dict: dict, n_sources: int = 4) -> dict:
-    """Best-effort conversion of a released demucs torch checkpoint into this
-    pytree layout. Torch conv weights [C_out, C_in, K] → [K, C_in, C_out]."""
-    raise NotImplementedError(
-        "checkpoint conversion requires a released demucs state dict; "
-        "wire this up when weights are available in the deployment image"
-    )
+def _strip_prefix(state_dict: dict) -> dict:
+    """Accept BagOfModels-style checkpoints ('models.0.' prefixed keys)."""
+    for pref in ("models.0.", "model.", "module."):
+        if any(k.startswith(pref) for k in state_dict):
+            return {k[len(pref) :]: v for k, v in state_dict.items() if k.startswith(pref)}
+    return state_dict
+
+
+def convert_torch_state_dict(state_dict: dict, audio_channels: int = 2) -> dict:
+    """Convert a torch HTDemucs state dict (released-checkpoint key naming;
+    see models/torch_htdemucs.py) into this module's parameter pytree.
+
+    Accepts tensors or numpy arrays. Linear/attention weights are
+    transposed so the JAX forward uses x @ W; conv weights keep the torch
+    layout (the JAX convs use OIH/OIHW/IOH dimension numbers).
+    """
+    sd = {k: np.asarray(getattr(v, "detach", lambda: v)().cpu() if hasattr(v, "cpu") else v)
+          for k, v in _strip_prefix(state_dict).items()}
+
+    def arr(key):
+        if key not in sd:
+            raise KeyError(f"missing checkpoint key: {key}")
+        return jnp.asarray(sd[key])
+
+    def dconv_params(prefix):
+        blocks = []
+        for j in range(2):
+            b = f"{prefix}.layers.{j}"
+            blocks.append(
+                {
+                    "conv1_w": arr(f"{b}.0.weight"),
+                    "conv1_b": arr(f"{b}.0.bias"),
+                    "gn1_g": arr(f"{b}.1.weight"),
+                    "gn1_b": arr(f"{b}.1.bias"),
+                    "conv2_w": arr(f"{b}.3.weight"),
+                    "conv2_b": arr(f"{b}.3.bias"),
+                    "gn2_g": arr(f"{b}.4.weight"),
+                    "gn2_b": arr(f"{b}.4.bias"),
+                    "scale": arr(f"{b}.6.scale"),
+                }
+            )
+        return {"blocks": blocks}
+
+    p: dict = {"encoder": [], "tencoder": [], "decoder": [], "tdecoder": []}
+    for i in range(DEPTH):
+        p["encoder"].append(
+            {
+                "conv_w": arr(f"encoder.{i}.conv.weight"),
+                "conv_b": arr(f"encoder.{i}.conv.bias"),
+                "rewrite_w": arr(f"encoder.{i}.rewrite.weight"),
+                "rewrite_b": arr(f"encoder.{i}.rewrite.bias"),
+                "dconv": dconv_params(f"encoder.{i}.dconv"),
+            }
+        )
+        p["tencoder"].append(
+            {
+                "conv_w": arr(f"tencoder.{i}.conv.weight"),
+                "conv_b": arr(f"tencoder.{i}.conv.bias"),
+                "rewrite_w": arr(f"tencoder.{i}.rewrite.weight"),
+                "rewrite_b": arr(f"tencoder.{i}.rewrite.bias"),
+                "dconv": dconv_params(f"tencoder.{i}.dconv"),
+            }
+        )
+        p["decoder"].append(
+            {
+                "rewrite_w": arr(f"decoder.{i}.rewrite.weight"),
+                "rewrite_b": arr(f"decoder.{i}.rewrite.bias"),
+                "convtr_w": arr(f"decoder.{i}.conv_tr.weight"),
+                "convtr_b": arr(f"decoder.{i}.conv_tr.bias"),
+            }
+        )
+        p["tdecoder"].append(
+            {
+                "rewrite_w": arr(f"tdecoder.{i}.rewrite.weight"),
+                "rewrite_b": arr(f"tdecoder.{i}.rewrite.bias"),
+                "convtr_w": arr(f"tdecoder.{i}.conv_tr.weight"),
+                "convtr_b": arr(f"tdecoder.{i}.conv_tr.bias"),
+            }
+        )
+
+    # ScaledEmbedding: effective embedding = weight * scale (scale=10)
+    p["freq_emb"] = arr("freq_emb.embedding.weight") * 10.0
+
+    for ours, theirs in (
+        ("up_s", "channel_upsampler"),
+        ("up_t", "channel_upsampler_t"),
+        ("down_s", "channel_downsampler"),
+        ("down_t", "channel_downsampler_t"),
+    ):
+        w = arr(f"{theirs}.weight")  # Conv1d 1×1 [out, in, 1]
+        p[f"{ours}_w"] = w[:, :, 0]
+        p[f"{ours}_b"] = arr(f"{theirs}.bias")
+
+    p["norm_in_g"] = arr("crosstransformer.norm_in.weight")
+    p["norm_in_b"] = arr("crosstransformer.norm_in.bias")
+    p["norm_in_t_g"] = arr("crosstransformer.norm_in_t.weight")
+    p["norm_in_t_b"] = arr("crosstransformer.norm_in_t.bias")
+
+    def tlayer_params(prefix, cross: bool):
+        attn = "cross_attn" if cross else "self_attn"
+        in_w = arr(f"{prefix}.{attn}.in_proj_weight")  # [3D, D]
+        in_b = arr(f"{prefix}.{attn}.in_proj_bias")
+        D = in_w.shape[1]
+        lp = {
+            "q_w": in_w[:D].T, "k_w": in_w[D : 2 * D].T, "v_w": in_w[2 * D :].T,
+            "q_b": in_b[:D], "k_b": in_b[D : 2 * D], "v_b": in_b[2 * D :],
+            "o_w": arr(f"{prefix}.{attn}.out_proj.weight").T,
+            "o_b": arr(f"{prefix}.{attn}.out_proj.bias"),
+            "norm1_g": arr(f"{prefix}.norm1.weight"), "norm1_b": arr(f"{prefix}.norm1.bias"),
+            "norm2_g": arr(f"{prefix}.norm2.weight"), "norm2_b": arr(f"{prefix}.norm2.bias"),
+            "lin1_w": arr(f"{prefix}.linear1.weight").T, "lin1_b": arr(f"{prefix}.linear1.bias"),
+            "lin2_w": arr(f"{prefix}.linear2.weight").T, "lin2_b": arr(f"{prefix}.linear2.bias"),
+            "gamma1": arr(f"{prefix}.gamma_1.scale"), "gamma2": arr(f"{prefix}.gamma_2.scale"),
+            "normout_g": arr(f"{prefix}.norm_out.weight"),
+            "normout_b": arr(f"{prefix}.norm_out.bias"),
+        }
+        if cross:
+            lp["norm3_g"] = arr(f"{prefix}.norm3.weight")
+            lp["norm3_b"] = arr(f"{prefix}.norm3.bias")
+        return lp
+
+    p["tlayers"] = [
+        tlayer_params(f"crosstransformer.layers.{i}", cross=(i % 2 == 0))
+        for i in range(T_LAYERS)
+    ]
+    p["tlayers_t"] = [
+        tlayer_params(f"crosstransformer.layers_t.{i}", cross=(i % 2 == 0))
+        for i in range(T_LAYERS)
+    ]
+    return p
+
+
+def save_params(path: str, params: dict) -> None:
+    from .params_io import save_pytree_npz
+
+    save_pytree_npz(path, params)
 
 
 def load_params(path: str | None = None) -> dict | None:
     path = path or os.environ.get("HTDEMUCS_WEIGHTS", "")
     if not path or not os.path.exists(path):
         return None
-    data = np.load(path, allow_pickle=True)
-    return data["params"].item() if "params" in data else None
+    from .params_io import load_pytree_npz
+
+    params = load_pytree_npz(path)  # flat path-keyed npz; no pickle
+    return params if isinstance(params, dict) and "encoder" in params else None
 
 
 _PARAMS: dict | None = None

@@ -7,11 +7,11 @@ live torch modules in tests/test_torch_port.py (torch-cpu is available in
 the image even though the pretrained checkpoints are not).
 
 Layout conventions used by this package:
-  conv1d   w: [K, C_in, C_out]        torch: [C_out, C_in, K]
-  conv2d   w: [H, W, C_in, C_out]     torch: [C_out, C_in, H, W]
-  convtr1d w: [K, C_out, C_in]        torch: [C_in, C_out, K]
-  dense    w: [D_in, D_out]           torch: [D_out, D_in]
-  lstm     fused gates [i, f, g, o]   torch: [i, f, g, o] (same order)
+  conv1d/2d (htdemucs)  torch layout kept verbatim (OIH / OIHW / IOH[W]) —
+                        see models/htdemucs.convert_torch_state_dict
+  conv2d (basicpitch)   w: [H, W, C_in, C_out]   torch: [C_out, C_in, H, W]
+  dense                 w: [D_in, D_out]         torch: [D_out, D_in]
+  lstm                  fused gates [i, f, g, o] torch: [i, f, g, o] (same)
 """
 
 from __future__ import annotations
@@ -27,22 +27,9 @@ def convert_dense(weight: np.ndarray, bias: np.ndarray | None = None):
     return w, b
 
 
-def convert_conv1d(weight: np.ndarray, bias: np.ndarray | None = None):
-    w = jnp.asarray(np.transpose(np.asarray(weight), (2, 1, 0)))  # [K, C_in, C_out]
-    b = jnp.asarray(np.asarray(bias)) if bias is not None else jnp.zeros((w.shape[2],))
-    return w, b
-
-
 def convert_conv2d(weight: np.ndarray, bias: np.ndarray | None = None):
     w = jnp.asarray(np.transpose(np.asarray(weight), (2, 3, 1, 0)))  # [H, W, C_in, C_out]
     b = jnp.asarray(np.asarray(bias)) if bias is not None else jnp.zeros((w.shape[3],))
-    return w, b
-
-
-def convert_convtranspose1d(weight: np.ndarray, bias: np.ndarray | None = None):
-    # torch ConvTranspose1d weight: [C_in, C_out, K] → ours [K, C_out, C_in]
-    w = jnp.asarray(np.transpose(np.asarray(weight), (2, 1, 0)))
-    b = jnp.asarray(np.asarray(bias)) if bias is not None else jnp.zeros((w.shape[1],))
     return w, b
 
 

@@ -5,9 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from audiotabs_tpu.models.htdemucs import (
-    HOP,
-    DEPTH,
-    STRIDE,
+    ALIGN,
     apply_model,
     forward,
     init_params,
@@ -21,13 +19,14 @@ def tiny_params():
 
 
 def test_forward_shapes(tiny_params):
-    L = STRIDE**DEPTH * HOP  # minimal aligned length (262144 samples ≈ 6s)
+    L = 4 * ALIGN
     mix = jnp.asarray(np.random.default_rng(0).standard_normal((2, L)).astype(np.float32) * 0.1)
     out = forward(tiny_params, mix)
     assert out.shape == (4, 2, L)
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_apply_model_overlap_add(tiny_params):
     sr = 44100
     L = int(sr * 10.0)

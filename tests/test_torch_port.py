@@ -9,29 +9,40 @@ import jax
 import jax.numpy as jnp
 
 
-def test_conv1d_conversion(rng):
+def test_conv1d_torch_layout(rng):
+    """htdemucs keeps torch conv layouts verbatim (OIH dimension numbers)."""
     from audiotabs_tpu.models.htdemucs import _conv1d
-    from audiotabs_tpu.models.torch_port import convert_conv1d
 
     m = torch.nn.Conv1d(3, 8, kernel_size=5, padding=2)
     x = rng.standard_normal((3, 64)).astype(np.float32)
     with torch.no_grad():
-        ref = m(torch.from_numpy(x)[None]).numpy()[0]
-    w, b = convert_conv1d(m.weight.detach().numpy(), m.bias.detach().numpy())
-    got = np.asarray(_conv1d(jnp.asarray(x), w, b))
+        ref = m(torch.from_numpy(x)[None]).numpy()
+    got = np.asarray(
+        _conv1d(
+            jnp.asarray(x)[None],
+            jnp.asarray(m.weight.detach().numpy()),
+            jnp.asarray(m.bias.detach().numpy()),
+            pad=2,
+        )
+    )
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
-def test_conv1d_strided_conversion(rng):
-    from audiotabs_tpu.models.htdemucs import _conv1d
-    from audiotabs_tpu.models.torch_port import convert_conv1d
+def test_convtranspose1d_torch_layout(rng):
+    from audiotabs_tpu.models.htdemucs import _convtr1d
 
-    m = torch.nn.Conv1d(4, 6, kernel_size=8, stride=4, padding=2)
-    x = rng.standard_normal((4, 64)).astype(np.float32)
+    m = torch.nn.ConvTranspose1d(4, 6, kernel_size=8, stride=4)
+    x = rng.standard_normal((4, 16)).astype(np.float32)
     with torch.no_grad():
-        ref = m(torch.from_numpy(x)[None]).numpy()[0]
-    w, b = convert_conv1d(m.weight.detach().numpy(), m.bias.detach().numpy())
-    got = np.asarray(_conv1d(jnp.asarray(x), w, b, stride=4, pad=[(2, 2)]))
+        ref = m(torch.from_numpy(x)[None]).numpy()
+    got = np.asarray(
+        _convtr1d(
+            jnp.asarray(x)[None],
+            jnp.asarray(m.weight.detach().numpy()),
+            jnp.asarray(m.bias.detach().numpy()),
+            stride=4,
+        )
+    )
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
