@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -109,3 +110,93 @@ def test_beat_activation_and_estimate_beats_on_clicktrack():
     tempo, beats = estimate_beats(y, sr)
     assert abs(tempo - 120.0) < 6.0 or abs(tempo - 60.0) < 3.0 or abs(tempo - 240.0) < 12.0
     assert len(beats) >= 8
+
+
+def _click_activation(bpm: float, duration_s: float, fps: int = 100, jitter=None, rng=None):
+    """Synthetic beat activation: narrow peaks at the beat grid + noise floor."""
+    n = int(duration_s * fps)
+    act = np.full(n, 0.05, dtype=np.float32)
+    period = 60.0 * fps / bpm
+    t = 0.0
+    while t < n - 1:
+        i = int(round(t))
+        if jitter is not None and rng is not None:
+            i = int(np.clip(i + rng.integers(-jitter, jitter + 1), 0, n - 1))
+        act[i] = 1.0
+        if i + 1 < n:
+            act[i + 1] = max(act[i + 1], 0.4)
+        if i - 1 >= 0:
+            act[i - 1] = max(act[i - 1], 0.4)
+        t += period
+    return act
+
+
+@pytest.mark.parametrize("bpm", [60.0, 120.0, 200.0])
+def test_dbn_oracle_steady_click(bpm):
+    """Decoded beats land within one frame of a clean click grid (madmom
+    bar-pointer semantics, VERDICT r1 item 7)."""
+    from audiotabs_tpu.decode import dbn_beat_track
+
+    fps = 100
+    act = _click_activation(bpm, 20.0, fps)
+    beats = dbn_beat_track(act, fps=fps)
+    assert len(beats) >= 0.8 * (20.0 * bpm / 60.0) - 2
+    period = 60.0 / bpm
+    truth = np.arange(0, 20.0, period)
+    for b in beats[1:-1]:
+        assert np.min(np.abs(truth - b)) <= 1.5 / fps, (bpm, b)
+    # decoded tempo within 2%
+    est_bpm = 60.0 / np.median(np.diff(beats))
+    assert abs(est_bpm - bpm) / bpm < 0.02, est_bpm
+
+
+@pytest.mark.parametrize("bpm", [56.0, 214.0])
+def test_dbn_oracle_range_edges(bpm):
+    """Tempi at the 55/215 BPM range edges stay decodable (no clamping)."""
+    from audiotabs_tpu.decode import dbn_beat_track
+
+    fps = 100
+    act = _click_activation(bpm, 20.0, fps)
+    beats = dbn_beat_track(act, fps=fps)
+    est_bpm = 60.0 / np.median(np.diff(beats))
+    ratios = (est_bpm / bpm, bpm / est_bpm)
+    assert any(abs(r - 1.0) < 0.05 for r in ratios), (bpm, est_bpm)
+
+
+def test_dbn_oracle_tempo_ramp():
+    """A 100→140 BPM ramp: the decoder follows, local tempo stays within
+    10% of the local truth in the steady halves."""
+    from audiotabs_tpu.decode import dbn_beat_track
+
+    fps = 100
+    n = int(30.0 * fps)
+    act = np.full(n, 0.05, dtype=np.float32)
+    t, truth = 0.0, []
+    while t < 30.0:
+        bpm = 100.0 if t < 10 else (140.0 if t > 20 else 100.0 + 4.0 * (t - 10))
+        i = int(round(t * fps))
+        if i < n:
+            act[i] = 1.0
+            if i + 1 < n:
+                act[i + 1] = 0.4
+            truth.append(t)
+        t += 60.0 / bpm
+    beats = dbn_beat_track(act, fps=fps)
+    head = [b for b in beats if 2 < b < 9]
+    tail = [b for b in beats if 21 < b < 29]
+    assert len(head) >= 5 and len(tail) >= 5
+    bpm_head = 60.0 / np.median(np.diff(head))
+    bpm_tail = 60.0 / np.median(np.diff(tail))
+    assert abs(bpm_head - 100.0) < 10.0, bpm_head
+    assert abs(bpm_tail - 140.0) < 14.0, bpm_tail
+
+
+def test_dbn_oracle_jittered_click():
+    """±2-frame onset jitter: decoded tempo still within 4%."""
+    from audiotabs_tpu.decode import dbn_beat_track
+
+    rng = np.random.default_rng(7)
+    act = _click_activation(97.0, 20.0, 100, jitter=2, rng=rng)
+    beats = dbn_beat_track(act, fps=100)
+    est = 60.0 / np.median(np.diff(beats))
+    assert abs(est - 97.0) / 97.0 < 0.04, est

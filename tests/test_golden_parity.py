@@ -39,21 +39,33 @@ def test_reference_csv_parses_with_our_reader(golden_available):
     assert set(rows[0]) == {"start_time_s", "end_time_s", "pitch_midi", "velocity", "amplitude"}
 
 
-@pytest.mark.slow
-def test_pipeline_parity_on_golden_wav(golden_available, tmp_path, monkeypatch):
-    """Full-pipeline run on the reference's input; tempo within half/double
-    tolerance, chord roots overlapping the reference timeline."""
-    monkeypatch.setenv("TRANSCRIPTION_MODE", "accompaniment")
+@pytest.fixture(scope="module")
+def golden_run(golden_available, tmp_path_factory):
+    """ONE full-pipeline run on the reference's golden input (accompaniment
+    mode, matching the artifacts the reference shipped); every quantitative
+    gate below consumes this run."""
+    import os
+
+    os.environ["TRANSCRIPTION_MODE"] = "accompaniment"
     from audiotabs_tpu.config import reload_settings
 
     reload_settings()
-    from audiotabs_tpu.runtime.pipeline import run_pipeline
+    try:
+        from audiotabs_tpu.runtime.pipeline import run_pipeline
 
-    job = tmp_path / "jobs" / "golden"
-    for sub in ("input", "work", "out"):
-        (job / sub).mkdir(parents=True)
-    result = run_pipeline(job, golden_available / "input" / "upload.wav")
+        job = tmp_path_factory.mktemp("golden") / "jobs" / "golden"
+        for sub in ("input", "work", "out"):
+            (job / sub).mkdir(parents=True)
+        result = run_pipeline(job, golden_available / "input" / "upload.wav")
+    finally:
+        os.environ.pop("TRANSCRIPTION_MODE", None)
+        reload_settings()
+    return result, job
 
+
+@pytest.mark.slow
+def test_golden_tempo_and_artifacts(golden_available, golden_run):
+    result, job = golden_run
     ref = json.loads((golden_available / "out" / "result.json").read_text())
     ref_tempo = ref["tempo_bpm"]
     ratios = [result.tempo_bpm / ref_tempo, ref_tempo / result.tempo_bpm]
@@ -61,13 +73,119 @@ def test_pipeline_parity_on_golden_wav(golden_available, tmp_path, monkeypatch):
         result.tempo_bpm,
         ref_tempo,
     )
-
-    # chord-root overlap: at least one of the reference's main chords appears
-    ref_roots = {c["label"].split(":")[0] for c in ref["chords"] if c["label"] != "N"}
-    our_roots = {c.label.split(":")[0] for c in result.chords if c.label != "N"}
-    assert our_roots & ref_roots, (our_roots, ref_roots)
-
-    # artifact contract completeness
     out = job / "out"
-    for name in ("result.musicxml", "transcription.mid", "note_events.csv", "beat_times.json", "chords.json", "score.ly"):
+    for name in (
+        "result.musicxml", "transcription.mid", "note_events.csv",
+        "beat_times.json", "chords.json", "score.ly", "strum_onsets.json",
+        "chosen_shapes.json", "profile.json",
+    ):
         assert (out / name).exists(), name
+
+
+@pytest.mark.slow
+def test_golden_chord_progression_exact(golden_run):
+    """The G/D/Am/C progression CLAUDE.md promises, as an ordered gate."""
+    result, _job = golden_run
+    labels = [c.label for c in result.chords if c.label != "N"]
+    collapsed = [l for i, l in enumerate(labels) if i == 0 or l != labels[i - 1]]
+    assert collapsed == [
+        "G:maj", "D:maj", "A:min", "G:maj", "D:maj", "C:maj", "G:maj",
+    ], collapsed
+
+
+@pytest.mark.slow
+def test_golden_beat_f_measure(golden_available, golden_run):
+    """Beat F-measure (±70 ms) vs the reference's raw madmom beat times."""
+    _result, job = golden_run
+    ref = json.loads((golden_available / "out" / "beat_times.json").read_text())
+    ours = json.loads((job / "out" / "beat_times.json").read_text())
+    ref_beats = np.asarray(ref["beat_times_raw_s"], dtype=np.float64)
+    our_beats = np.asarray(ours["raw_beat_times"], dtype=np.float64)
+    assert our_beats.size
+
+    matched, tp = set(), 0
+    for e in our_beats:
+        d = np.abs(ref_beats - e)
+        j = int(np.argmin(d))
+        if d[j] <= 0.07 and j not in matched:
+            matched.add(j)
+            tp += 1
+    p, r = tp / len(our_beats), tp / len(ref_beats)
+    f = 2 * p * r / (p + r + 1e-12)
+    # current operating point ≈ 0.56 (intro phase differs from madmom's,
+    # body aligns); the gate protects against regression and ratchets up
+    # as the beat front end improves
+    assert f >= 0.50, f
+
+
+@pytest.mark.slow
+def test_golden_chord_overlap_score(golden_available, golden_run):
+    """Time-weighted chord label agreement over the reference timeline."""
+    _result, job = golden_run
+    ref = json.loads((golden_available / "out" / "chords.json").read_text())
+    ours = json.loads((job / "out" / "chords.json").read_text())
+
+    def label_at(segs, t):
+        for c in segs:
+            if c["start"] <= t < c["end"]:
+                return c["label"]
+        return None
+
+    ts = np.arange(0.0, 14.0, 0.05)
+    agree = sum(1 for t in ts if label_at(ref, t) == label_at(ours, t))
+    score = agree / len(ts)
+    assert score >= 0.75, score  # current ≈ 0.86
+
+
+@pytest.mark.slow
+def test_golden_note_event_coverage(golden_available, golden_run):
+    """Every reference note (chord-tone at a strum) should be sounded by us
+    at the same musical position: same MIDI pitch, intervals overlapping
+    within 0.3 s slack. Gate at today's operating point (strum onset choice
+    differs from the reference's conservative detector)."""
+    import csv
+
+    _result, job = golden_run
+
+    def notes(path):
+        with open(path) as f:
+            return [
+                (float(r["start_time_s"]), float(r["end_time_s"]), int(r["pitch_midi"]))
+                for r in csv.DictReader(f)
+            ]
+
+    ref = notes(golden_available / "out" / "note_events.csv")
+    ours = notes(job / "out" / "note_events.csv")
+    assert ref and ours
+    hit = 0
+    for rt, re_, rp in ref:
+        if any(op == rp and oe >= rt - 0.3 and ot <= re_ + 0.3 for ot, oe, op in ours):
+            hit += 1
+    recall = hit / len(ref)
+    assert recall >= 0.40, recall  # current ≈ 0.42
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "job_id",
+    [
+        "3ce6a198a9ef448aa66bd6b0703f35c0",
+        "42fc534998874068a7b0318134d2f90d",
+        "7da7d8dc34af4e90a98adc642eb381d5",
+    ],
+)
+def test_reference_wavs_robustness(job_id, tmp_path):
+    """The reference ships three more input WAVs with no outputs; they must
+    run end-to-end without crashing: non-empty score, sane tempo."""
+    wav = Path(f"/root/reference/data/jobs/{job_id}/input/upload.wav")
+    if not wav.exists():
+        pytest.skip("reference input unavailable")
+    from audiotabs_tpu.runtime.pipeline import run_pipeline
+
+    job = tmp_path / "jobs" / job_id
+    for sub in ("input", "work", "out"):
+        (job / sub).mkdir(parents=True)
+    result = run_pipeline(job, wav)
+    assert result.score is not None and len(result.score.measures) >= 1
+    assert 40 <= result.tempo_bpm <= 250
+    assert (job / "out" / "result.musicxml").exists()

@@ -137,3 +137,37 @@ def test_quantize_chord_grouping():
     r = quantize_note_events_to_score(events, tempo_bpm=120.0)
     first = next(it for m in r.score.measures for it in m.items if not it.rest)
     assert len(first.keys) == 3
+
+
+def test_pick_best_beat_times_prefers_true_grid():
+    """Quarter notes at 120 BPM notated on a double-speed (240 BPM) grid read
+    as half notes everywhere — the readability cost must pick the grid that
+    notates them as quarters (reference pipeline.py:1562-1608 semantics)."""
+    from audiotabs_tpu.theory.chord_simplify import pick_best_beat_times
+    from audiotabs_tpu.theory.events import NoteEvent
+
+    # melody: one note per 0.5 s (= 120 BPM quarters), 16 s
+    events = [
+        NoteEvent(i * 0.5, i * 0.5 + 0.45, 60 + (i % 5), 90, 0.8) for i in range(32)
+    ]
+    # candidate grid at double speed: beats every 0.25 s → beats[::2] is the
+    # true 120 BPM grid and must win
+    dbl = np.arange(0.0, 16.0, 0.25, dtype=np.float32)
+    best = pick_best_beat_times(events, dbl)
+    period = float(np.median(np.diff(best)))
+    assert abs(period - 0.5) < 0.02, period
+
+
+def test_pick_best_beat_times_keeps_correct_grid():
+    """Straight eighths on the right grid become 16ths on the half-time
+    grid (0.85 penalty each) — the correct grid must be kept."""
+    from audiotabs_tpu.theory.chord_simplify import pick_best_beat_times
+    from audiotabs_tpu.theory.events import NoteEvent
+
+    events = [
+        NoteEvent(i * 0.25, i * 0.25 + 0.22, 60 + (i % 5), 90, 0.8) for i in range(64)
+    ]
+    good = np.arange(0.0, 16.0, 0.5, dtype=np.float32)
+    best = pick_best_beat_times(events, good)
+    period = float(np.median(np.diff(best)))
+    assert abs(period - 0.5) < 0.02, period
