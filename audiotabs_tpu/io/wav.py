@@ -164,6 +164,18 @@ def decode_to_mono_44k(input_path: str | os.PathLike, out_path: str | os.PathLik
         write_wav(out_path, x, target_sr)
         return x, target_sr
 
+    from .mp3 import decode_mp3, looks_like_mp3, mp3_available
+
+    if (input_path.suffix.lower() == ".mp3" or looks_like_mp3(input_path)) and mp3_available():
+        x, sr = decode_mp3(input_path, mono=True)
+        if sr != target_sr:
+            from .resample import resample_poly_host
+
+            x = resample_poly_host(x, sr, target_sr)
+        x = x.astype(np.float32)
+        write_wav(out_path, x, target_sr)
+        return x, target_sr
+
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg is None:
         raise RuntimeError(

@@ -77,14 +77,20 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/health":
             return self._json(200, {"status": "ok"})
-        if self.path in ("/", "/index.html"):
+        static = {
+            "/": ("index.html", "text/html; charset=utf-8"),
+            "/index.html": ("index.html", "text/html; charset=utf-8"),
+            "/score_renderer.js": ("score_renderer.js", "text/javascript; charset=utf-8"),
+        }
+        if self.path in static:
             from pathlib import Path
 
-            page = Path(__file__).resolve().parent.parent.parent / "frontend" / "index.html"
+            name, mime = static[self.path]
+            page = Path(__file__).resolve().parent.parent.parent / "frontend" / name
             if page.exists():
                 body = page.read_bytes()
                 self.send_response(200)
-                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Type", mime)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

@@ -146,3 +146,18 @@ def test_multipart_upload(server):
     )
     assert status == 200
     assert "job_id" in json.loads(data)
+
+
+def test_frontend_served_offline(server):
+    """The page and the bundled SVG score renderer must be served locally
+    (the reference's ScoreViewer/LeadSheet equivalents work with no CDN)."""
+    port, _ = server
+    code, _ct, page = _request(port, "GET", "/")
+    assert code == 200
+    html = page.decode()
+    assert "score_renderer.js" in html
+    code, _ct, js = _request(port, "GET", "/score_renderer.js")
+    assert code == 200
+    src = js.decode()
+    for sym in ("renderScore", "renderLeadSheet", "AudiotabsScore"):
+        assert sym in src
