@@ -121,20 +121,83 @@ def init_params(rng: jax.Array, input_dim: int, hidden: int = 25, layers: int = 
     return params
 
 
+def _bilstm_scan(layer: dict, x):
+    """Both LSTM directions in ONE lax.scan: the backward pass runs on the
+    time-reversed sequence as a second batch row, halving the sequential
+    depth vs two scans (the dominant cost of the BLSTM on TPU)."""
+    W = jnp.stack([layer["fwd"]["W"], layer["bwd"]["W"]])  # [2, D, 4H]
+    U = jnp.stack([layer["fwd"]["U"], layer["bwd"]["U"]])  # [2, H, 4H]
+    b = jnp.stack([layer["fwd"]["b"], layer["bwd"]["b"]])  # [2, 4H]
+    H = U.shape[1]
+    xs = jnp.stack([x, x[::-1]], axis=1)  # [T, 2, D]
+
+    def step(carry, xt):
+        h, c = carry  # [2, H]
+        gates = jnp.einsum("bd,bdg->bg", xt, W) + jnp.einsum("bh,bhg->bg", h, U) + b
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((2, H)), jnp.zeros((2, H)))
+    _, hs = jax.lax.scan(step, init, xs)  # [T, 2, H]
+    return jnp.concatenate([hs[:, 0], hs[::-1, 1]], axis=-1)  # [T, 2H]
+
+
 @jax.jit
 def blstm_apply(params: dict, feats):
     """[T, D] features → [T] beat activation in (0, 1)."""
     x = feats
+    if "feat_mean" in params:
+        x = (x - params["feat_mean"]) / params["feat_std"]
     for layer in params["layers"]:
-        fwd = _lstm_scan(layer["fwd"], x)
-        bwd = _lstm_scan(layer["bwd"], x, reverse=True)
-        x = jnp.concatenate([fwd, bwd], axis=-1)
+        x = _bilstm_scan(layer, x)
     logits = x @ params["out_w"] + params["out_b"]
     return jax.nn.sigmoid(logits[:, 0])
 
 
+def blstm_apply_chunked(params: dict, feats, window: int = 256, margin: int = 32):
+    """[T, D] → [T] activation via overlapped windows vmapped through the
+    BLSTM — the TPU-first way to run a recurrent net over a long sequence:
+    the serial scan is bounded at `window` steps and all windows run in
+    parallel on the MXU, instead of one T-step serial scan. The `margin`
+    frames at each window edge (~0.3 s of context) are recomputed by the
+    neighboring window and discarded, so edge effects stay out of the kept
+    activation. Traceable: all shapes derive from the static T.
+    """
+    T, D = feats.shape
+    if T <= window:
+        return blstm_apply(params, feats)
+    hop = window - 2 * margin
+    nwin = -(-(T - 2 * margin) // hop)
+    padT = nwin * hop + 2 * margin
+    f = jnp.pad(feats, ((0, padT - T), (0, 0)))
+    idx = np.arange(nwin)[:, None] * hop + np.arange(window)[None, :]
+    wins = f[jnp.asarray(idx)]  # [nwin, window, D]
+    acts = jax.vmap(lambda w: blstm_apply(params, w))(wins)  # [nwin, window]
+    out = jnp.concatenate(
+        [acts[0, :margin], acts[:, margin : window - margin].reshape(-1), acts[-1, window - margin :]]
+    )
+    return out[:T]
+
+
+def save_params(path: str, params: dict) -> None:
+    """Save BLSTM weights as a flat npz (inverse of load_params)."""
+    flat = {}
+    for i, layer in enumerate(params["layers"]):
+        for d in ("fwd", "bwd"):
+            for k in ("W", "U", "b"):
+                flat[f"l{i}_{d}_{k}"] = np.asarray(layer[d][k])
+    flat["out_w"] = np.asarray(params["out_w"])
+    flat["out_b"] = np.asarray(params["out_b"])
+    for k in ("feat_mean", "feat_std"):
+        if k in params:
+            flat[k] = np.asarray(params[k])
+    np.savez(path, **flat)
+
+
 def load_params(path: str) -> dict | None:
-    """Load converted BLSTM weights (npz pytree). None if absent."""
+    """Load trained/converted BLSTM weights (npz pytree). None if absent."""
     import os
 
     if not path or not os.path.exists(path):
@@ -146,9 +209,12 @@ def load_params(path: str) -> dict | None:
         layers.append(
             {
                 d: {
-                    "W": jnp.asarray(data[f"l{i}_{d}_W"]),
-                    "U": jnp.asarray(data[f"l{i}_{d}_U"]),
-                    "b": jnp.asarray(data[f"l{i}_{d}_b"]),
+                    # numpy on purpose: load can happen at trace time, and
+                    # jnp arrays created inside a trace would leak tracers
+                    # into this cached pytree
+                    "W": np.asarray(data[f"l{i}_{d}_W"]),
+                    "U": np.asarray(data[f"l{i}_{d}_U"]),
+                    "b": np.asarray(data[f"l{i}_{d}_b"]),
                 }
                 for d in ("fwd", "bwd")
             }
@@ -156,7 +222,11 @@ def load_params(path: str) -> dict | None:
         i += 1
     if not layers:
         return None
-    return {"layers": layers, "out_w": jnp.asarray(data["out_w"]), "out_b": jnp.asarray(data["out_b"])}
+    out = {"layers": layers, "out_w": np.asarray(data["out_w"]), "out_b": np.asarray(data["out_b"])}
+    for k in ("feat_mean", "feat_std"):
+        if k in data.files:
+            out[k] = np.asarray(data[k])
+    return out
 
 
 # ------------------------------------------------------------ DSP default --
@@ -199,12 +269,33 @@ def onset_activation(y, sr: int, fps: int = FPS_DEFAULT):
 
 
 _TRAINED: dict | None = None
+_TRAINED_CHECKED = False
+
+
+def default_weights_path() -> str:
+    """Checked-in trained weights; BEAT_RNN_WEIGHTS overrides ('off' disables)."""
+    import os
+
+    env = os.environ.get("BEAT_RNN_WEIGHTS")
+    if env is not None:
+        return "" if env.lower() in ("off", "none", "0") else env
+    return str(__import__("pathlib").Path(__file__).resolve().parent.parent / "weights" / "beat_rnn.npz")
+
+
+def trained_params() -> dict | None:
+    """Lazily load (once) the default trained BLSTM weights."""
+    global _TRAINED, _TRAINED_CHECKED
+    if not _TRAINED_CHECKED:
+        _TRAINED = load_params(default_weights_path())
+        _TRAINED_CHECKED = True
+    return _TRAINED
 
 
 def beat_activation(y, sr: int, fps: int = FPS_DEFAULT, params: dict | None = None):
-    """Beat activation [T]: BLSTM when weights are available, else DSP."""
-    p = params if params is not None else _TRAINED
+    """Beat activation [T]: trained BLSTM when weights exist, else DSP flux
+    (the madmom RNN-vs-spectral-flux duality, reference grid/beats.py:71-82)."""
+    p = params if params is not None else trained_params()
     if p is not None:
         feats = spectral_features(y, sr, fps)
-        return blstm_apply(p, feats)
+        return blstm_apply_chunked(p, feats)
     return onset_activation(y, sr, fps)

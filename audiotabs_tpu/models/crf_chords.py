@@ -84,4 +84,5 @@ def load_params(path: str | None = None) -> dict | None:
     needed = {"emit_w", "emit_b", "transitions", "initial"}
     if not needed.issubset(set(data.files)):
         return None
-    return {k: jnp.asarray(data[k]) for k in needed}
+    # numpy on purpose: this loader runs at fused-program trace time
+    return {k: np.asarray(data[k]) for k in needed}

@@ -1,0 +1,198 @@
+"""Synthetic labeled music generator.
+
+Produces clips with exactly-known beat grids and note rolls, covering the
+styles the pipeline must handle: drum-driven mixes, strummed chords with no
+percussion (the golden WAV's style), and mixed arrangements — at tempi
+spanning the DBN's 55–215 BPM range, with amplitude/noise variation so a
+model trained here does not overfit a single timbre.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_CHORDS = {
+    "maj": (0, 4, 7),
+    "min": (0, 3, 7),
+    "maj7": (0, 4, 7, 11),
+    "min7": (0, 3, 7, 10),
+}
+
+
+def _tone(f: float, t: np.ndarray, harmonics: int = 4, decay: float = 3.0) -> np.ndarray:
+    y = np.zeros_like(t)
+    for h in range(1, harmonics + 1):
+        if f * h < 10000:
+            y += (0.7**h) * np.sin(2 * np.pi * f * h * t)
+    return y * np.exp(-decay * t)
+
+
+def _pluck(
+    f: float, t: np.ndarray, rng: np.random.Generator, decay: float = 2.0
+) -> np.ndarray:
+    """Plucked-string tone (Karplus-Strong-like additive approximation):
+    1/h^r harmonic rolloff, per-harmonic damping, slight inharmonicity and
+    random phases — much closer to a real guitar than a pure sine stack."""
+    y = np.zeros_like(t)
+    rolloff = rng.uniform(0.8, 1.6)
+    damp = rng.uniform(0.5, 1.2)
+    inharm = rng.uniform(0.0, 2e-4)
+    for h in range(1, 9):
+        fh = f * h * (1.0 + inharm * h * h)
+        if fh > 9500:
+            break
+        ph = rng.uniform(0, 2 * np.pi)
+        y += (1.0 / h**rolloff) * np.sin(2 * np.pi * fh * t + ph) * np.exp(
+            -t * (decay + damp * h)
+        )
+    # pick attack: a few ms of filtered noise
+    na = max(8, int(0.004 * (len(t) / (t[-1] + 1e-9) if len(t) > 1 else 22050)))
+    na = min(na, len(t))
+    y[:na] += 0.6 * rng.standard_normal(na) * np.linspace(1, 0, na)
+    return y
+
+
+def _noise_burst(rng: np.random.Generator, n: int, decay: float) -> np.ndarray:
+    t = np.arange(n) / n
+    return rng.standard_normal(n) * np.exp(-decay * t)
+
+
+def synth_beat_clip(
+    rng: np.random.Generator,
+    duration_s: float = 12.0,
+    sr: int = 22050,
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (mono audio [T], true beat times [s]). Style, tempo, key, phase and
+    mix levels are drawn from the generator."""
+    n = int(duration_s * sr)
+    y = np.zeros(n, dtype=np.float64)
+    tempo = float(np.exp(rng.uniform(np.log(58.0), np.log(205.0))))
+    period = 60.0 / tempo
+    phase = float(rng.uniform(0.0, period))
+    beats = np.arange(phase, duration_s - 0.05, period)
+
+    style = rng.choice(["drums", "strum", "both", "legato"])
+    root = int(rng.integers(40, 56))
+    scale = np.array([0, 2, 4, 5, 7, 9, 11])
+    prog = [root + int(rng.choice(scale)) for _ in range(4)]
+    quals = [rng.choice(list(_CHORDS)) for _ in range(4)]
+    beats_per_chord = int(rng.choice([2, 4]))
+
+    # onset timing jitter (keeps learned peaks calibrated, not overfit to
+    # exact grid positions) and occasional dropped/syncopated beats
+    jit = rng.uniform(0.0, 0.02)
+    sounded = np.maximum(0.0, beats + rng.uniform(-jit, jit, size=beats.shape))
+    drop_p = float(rng.uniform(0.0, 0.25))
+    keep = rng.uniform(size=beats.shape) > drop_p
+    keep[0] = True
+
+    # percussion at beats (kick/click), optional weak offbeats
+    if style in ("drums", "both"):
+        off_amp = float(rng.uniform(0.0, 0.5))
+        for i, b in enumerate(sounded):
+            if not keep[i]:
+                continue
+            a = int(b * sr)
+            dur = int(0.06 * sr)
+            if a + dur >= n:
+                break
+            amp = 0.5 * float(rng.uniform(0.7, 1.0))
+            seg = np.arange(dur) / sr
+            y[a : a + dur] += amp * np.sin(2 * np.pi * (150 * np.exp(-seg * 25) + 45) * seg) * np.exp(-seg * 25 / 0.06 * 4)
+            y[a : a + dur // 2] += 0.6 * amp * _noise_burst(rng, dur // 2, 8.0)
+            half = b + period / 2
+            ha = int(half * sr)
+            if off_amp > 0.05 and ha + dur // 3 < n:
+                y[ha : ha + dur // 3] += off_amp * 0.25 * _noise_burst(rng, dur // 3, 10.0)
+
+    # strummed chords at beats (slightly arpeggiated attacks); the legato
+    # style sustains across beats with soft attacks — the hardest case for
+    # a flux-based tracker (beats are marked mostly by chord changes)
+    if style in ("strum", "both", "legato"):
+        soft = style == "legato"
+        for i, b in enumerate(sounded):
+            if not keep[i] and not soft:
+                continue
+            if soft and i % beats_per_chord not in (0, beats_per_chord // 2):
+                if rng.uniform() < 0.6:
+                    continue
+            ch = prog[(i // beats_per_chord) % 4]
+            qual = quals[(i // beats_per_chord) % 4]
+            amp = 0.22 * float(rng.uniform(0.6, 1.0))
+            for k, iv in enumerate(_CHORDS[qual]):
+                a = int((b + 0.004 * k) * sr)
+                dur = min(int(period * sr * 0.95), n - a)
+                if dur <= 0:
+                    continue
+                seg = np.arange(dur) / sr
+                f = 440.0 * 2 ** ((ch + iv - 69) / 12)
+                y[a : a + dur] += amp * _pluck(f, seg, rng, decay=2.0 / period)
+            # strum attack transient — the only percussive cue in this style
+            a = int(b * sr)
+            dur = int(0.02 * sr)
+            if a + dur < n:
+                t_amp = 0.04 if soft else 0.12
+                y[a : a + dur] += t_amp * _noise_burst(rng, dur, 6.0)
+
+    # melody on beats or eighths
+    if rng.uniform() < 0.7:
+        div = rng.choice([1, 2])
+        step = period / div
+        t0 = phase
+        while t0 < duration_s - step:
+            p = root + 12 + int(rng.choice(scale))
+            a = int(t0 * sr)
+            dur = min(int(step * sr * 0.9), n - a)
+            if dur > 0:
+                seg = np.arange(dur) / sr
+                f = 440.0 * 2 ** ((p - 69) / 12)
+                y[a : a + dur] += 0.18 * _pluck(f, seg, rng, decay=3.0 / step)
+            t0 += step
+
+    # room smear (short exponential reverb tail) softens every attack
+    if rng.uniform() < 0.5:
+        tail = int(rng.uniform(0.03, 0.12) * sr)
+        k = np.exp(-np.arange(tail) / (0.35 * tail))
+        k /= k.sum()
+        y = np.convolve(y, k)[:n]
+    # fade-in intro (quiet first bars — the classic tracker failure mode)
+    if rng.uniform() < 0.3:
+        fade = int(rng.uniform(1.0, 3.0) * sr)
+        y[:fade] *= np.linspace(0.15, 1.0, fade)
+    y += rng.uniform(0.001, 0.01) * rng.standard_normal(n)
+    peak = np.abs(y).max() + 1e-9
+    return (0.9 * y / peak).astype(np.float32), beats.astype(np.float32)
+
+
+def synth_note_clip(
+    rng: np.random.Generator,
+    duration_s: float = 6.0,
+    sr: int = 22050,
+    polyphony: int = 3,
+) -> tuple[np.ndarray, list[tuple[float, float, int]]]:
+    """→ (mono audio, [(start_s, end_s, midi_pitch), ...]) for AMT training."""
+    n = int(duration_s * sr)
+    y = np.zeros(n, dtype=np.float64)
+    events: list[tuple[float, float, int]] = []
+    t = float(rng.uniform(0.0, 0.3))
+    while t < duration_s - 0.3:
+        k = int(rng.integers(1, polyphony + 1))
+        dur = float(rng.uniform(0.2, 0.9))
+        base = int(rng.integers(40, 76))
+        pitches = {base}
+        while len(pitches) < k:
+            pitches.add(int(np.clip(base + rng.choice([3, 4, 5, 7, 12]), 21, 96)))
+        for p in pitches:
+            a = int(t * sr)
+            d = min(int(dur * sr), n - a)
+            if d <= 0:
+                continue
+            seg = np.arange(d) / sr
+            f = 440.0 * 2 ** ((p - 69) / 12)
+            amp = float(rng.uniform(0.15, 0.35))
+            y[a : a + d] += amp * _tone(f, seg, decay=2.5 / dur)
+            events.append((t, t + dur, p))
+        t += float(rng.uniform(0.25, 0.8))
+    y += rng.uniform(0.001, 0.008) * rng.standard_normal(n)
+    peak = np.abs(y).max() + 1e-9
+    return (0.9 * y / peak).astype(np.float32), events
