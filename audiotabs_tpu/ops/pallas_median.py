@@ -53,11 +53,31 @@ def _median_kernel(win: int, x_hbm, o_ref, scratch, sem):
 
 @partial(jax.jit, static_argnames=("win", "interpret"))
 def median_filter_lastaxis_pallas(x, win: int = 31, interpret: bool = False):
-    """Median filter along the last axis of [F, T] with edge replication."""
+    """Median filter along the last axis of [F, T] with edge replication.
+
+    vmap-compatible: rows are independent, so the batching rule folds the
+    batch axis into the row axis and calls the same kernel — this is what
+    lets the batch runner keep the Pallas path (a plain pallas_call with
+    ANY-space blocks does not batch)."""
     if win >= HALO:
         raise ValueError(f"win must be < {HALO}")
     if win % 2 == 0:
         raise ValueError("win must be odd (even-window median averages two values; use the XLA path)")
+
+    @jax.custom_batching.custom_vmap
+    def run(x2d):
+        return _median_impl(x2d, win, interpret)
+
+    @run.def_vmap
+    def _batched(axis_size, in_batched, xb):  # noqa: ANN001 - jax API shape
+        B, F, T = xb.shape
+        out = run(xb.reshape(B * F, T))  # recursive: supports nested vmap
+        return out.reshape(B, F, T), True
+
+    return run(x)
+
+
+def _median_impl(x, win: int, interpret: bool):
     F, T = x.shape
     half = win // 2
     Fp = ((F + TILE_F - 1) // TILE_F) * TILE_F

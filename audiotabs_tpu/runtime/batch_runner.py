@@ -57,16 +57,50 @@ def _load_and_bucket(paths: list[Path], bucket_s: float) -> tuple[np.ndarray, li
     return batch, true_lens, ANALYSIS_SR
 
 
+_BATCH_FN_CACHE: dict = {}
+
+
+def _batched_fn(mesh, sr: int, separate: bool, switch_penalty: float):
+    """Cached jitted shard_map program. Rebuilding the closure per call
+    would miss jax's jit cache and recompile through the relay every batch
+    (~7 s/batch — the round-1 batch-throughput regression)."""
+    key = (mesh, sr, separate, switch_penalty)
+    fn = _BATCH_FN_CACHE.get(key)
+    if fn is None:
+        from jax import shard_map
+
+        from .fused import fused_analysis
+
+        fn = jax.jit(
+            shard_map(
+                jax.vmap(
+                    lambda y: fused_analysis(
+                        y,
+                        sr,
+                        # None = auto (Pallas on TPU): the median kernel's
+                        # custom batching rule makes the Pallas path
+                        # vmap-able, so batched songs keep the fast HPSS
+                        use_pallas=None,
+                        switch_penalty=switch_penalty,
+                        separate=separate,
+                    )
+                ),
+                mesh=mesh,
+                in_specs=P("data", None),
+                out_specs=P("data"),
+                check_vma=False,
+            )
+        )
+        _BATCH_FN_CACHE[key] = fn
+    return fn
+
+
 def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None):
     """[B, T] → fused feature dict with a leading B axis, sharded over "data".
 
     B must be a multiple of the mesh's data-axis size (pad with zero rows
     and drop them after if needed).
     """
-    from jax import shard_map
-
-    from .fused import fused_analysis
-
     mesh = mesh or default_mesh()
     n_dev = mesh.shape["data"]
     B = batch.shape[0]
@@ -76,25 +110,9 @@ def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None):
 
     # same weight-free HPSS separation fallback as the single-song pipeline
     # (htdemucs weights are not applied on the batch path)
-    separate = config.settings.ENABLE_DEMUCS
-    fn = shard_map(
-        jax.vmap(
-            lambda y: fused_analysis(
-                y,
-                sr,
-                use_pallas=False,
-                switch_penalty=config.settings.SWITCH_PENALTY,
-                separate=separate,
-            )
-        ),
-        mesh=mesh,
-        in_specs=P("data", None),
-        out_specs=P("data"),
-        check_vma=False,
-    )
+    fn = _batched_fn(mesh, sr, config.settings.ENABLE_DEMUCS, config.settings.SWITCH_PENALTY)
     device_batch = jax.device_put(jnp.asarray(batch), NamedSharding(mesh, P("data", None)))
-    out = jax.jit(fn)(device_batch)
-    host = jax.device_get(out)
+    host = jax.device_get(fn(device_batch))
     if pad_rows:
         host = {k: v[:B] for k, v in host.items()}
     return host

@@ -47,3 +47,47 @@ def test_batch_transcription_sharded(song_files, tmp_path, monkeypatch):
     # distinct songs → distinct chord roots detected in at least some cases
     roots = {c.label.split(":")[0] for r in results for c in r.chords if c.label != "N"}
     assert len(roots) >= 3
+
+
+@pytest.mark.slow
+def test_batch_64_songs_config5_scale(tmp_path, monkeypatch):
+    """BASELINE config 5 shape: 64 songs through ONE sharded program on the
+    8-virtual-device mesh (short clips keep the CPU run tractable)."""
+    monkeypatch.setenv("TRANSCRIPTION_MODE", "notes")
+    monkeypatch.setenv("PAD_SECONDS_BUCKET", "2")
+    from audiotabs_tpu.config import reload_settings
+
+    reload_settings()
+    from audiotabs_tpu.parallel.mesh import make_mesh
+    from audiotabs_tpu.runtime.batch_runner import batched_fused_analysis, transcribe_batch
+
+    sr = 22050
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(64):
+        root = 45 + (i % 12)
+        t = np.arange(sr * 2) / sr
+        y = sum(
+            0.25 * np.sin(2 * np.pi * 440 * 2 ** ((p - 69) / 12) * t)
+            for p in (root, root + 4, root + 7)
+        )
+        for k in range(0, len(y) - 300, sr // 2):
+            y[k : k + 300] += 0.2 * rng.standard_normal(300)
+        p = tmp_path / f"s{i:02d}.wav"
+        write_wav(p, np.asarray(y, dtype=np.float32), sr)
+        paths.append(p)
+
+    mesh = make_mesh((8,), ("data",))
+    # the sharded program: 64 rows over 8 devices = 8 songs per device
+    batch = np.stack(
+        [np.pad(np.zeros(0, np.float32), (0, 0))] * 0
+        + [np.frombuffer(open(p, "rb").read()[44:], dtype="<i2").astype(np.float32) / 32768.0 for p in paths]
+    )
+    feats = batched_fused_analysis(batch, sr, mesh=mesh)
+    assert feats["chord_emissions"].shape[0] == 64
+    assert np.isfinite(np.asarray(feats["beat_activation"], dtype=np.float32)).all()
+
+    # full end-to-end on a subset through the same runner (host tail incl.)
+    results = transcribe_batch(paths[:16], tmp_path / "run", mesh=mesh, host_workers=4)
+    assert len(results) == 16
+    assert all(r.score is not None for r in results)
