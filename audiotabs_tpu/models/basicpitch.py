@@ -137,11 +137,24 @@ def _load_params_cached(path: str) -> dict | None:
     if not path or not os.path.exists(path):
         return None
     data = np.load(path)
-    return {k: jnp.asarray(v) for k, v in data.items()}
+    # numpy on purpose: loading can happen at fused-program trace time, and
+    # jnp arrays created inside a trace would leak tracers into this cache
+    return {k: np.asarray(v) for k, v in data.items()}
+
+
+def default_weights_path() -> str:
+    """Checked-in trained weights; BASICPITCH_WEIGHTS overrides ('off'
+    disables and falls back to the weight-free salience path)."""
+    env = os.environ.get("BASICPITCH_WEIGHTS")
+    if env is not None:
+        return "" if env.lower() in ("off", "none", "0") else env
+    from pathlib import Path
+
+    return str(Path(__file__).resolve().parent.parent / "weights" / "basicpitch.npz")
 
 
 def load_params(path: str | None = None) -> dict | None:
-    return _load_params_cached(path or os.environ.get("BASICPITCH_WEIGHTS", ""))
+    return _load_params_cached(path or default_weights_path())
 
 
 # ------------------------------------------------------- salience variant --

@@ -171,7 +171,7 @@ def blstm_apply_chunked(params: dict, feats, window: int = 256, margin: int = 32
     hop = window - 2 * margin
     nwin = -(-(T - 2 * margin) // hop)
     padT = nwin * hop + 2 * margin
-    f = jnp.pad(feats, ((0, padT - T), (0, 0)))
+    f = jnp.pad(feats, ((0, padT - T), (0, 0)), mode="edge")
     idx = np.arange(nwin)[:, None] * hop + np.arange(window)[None, :]
     wins = f[jnp.asarray(idx)]  # [nwin, window, D]
     acts = jax.vmap(lambda w: blstm_apply(params, w))(wins)  # [nwin, window]

@@ -232,9 +232,10 @@ def _enc_time(p: dict, x):
 
 
 def _dec_freq(p: dict, x, skip, last: bool):
-    """HDecLayer(freq): x,skip [C, F, T] → [C_out, F*4, T]."""
+    """HDecLayer(freq): x,skip [C, F, T] → [C_out, F*4, T]. The rewrite is
+    a square 3×3 conv (torch HDecLayer context=1 with an int kernel)."""
     h = (x + skip)[None]
-    z = _conv2d(h, p["rewrite_w"], p["rewrite_b"], pad=((1, 1), (0, 0)))
+    z = _conv2d(h, p["rewrite_w"], p["rewrite_b"], pad=((1, 1), (1, 1)))
     a, g = jnp.split(z, 2, axis=1)
     y = a * jax.nn.sigmoid(g)
     z = _convtr2d_freq(y, p["convtr_w"], p["convtr_b"], STRIDE)
@@ -280,8 +281,8 @@ def _ff(p: dict, x):
 
 def _self_layer(p: dict, x):
     """torch MyTransformerEncoderLayer (norm_first, LayerScale, GroupNorm out)."""
-    x = x + p["gamma1"] * _mha(p, _layer_norm(x, p["norm1_g"], p["norm1_b"]),
-                               _layer_norm(x, p["norm1_g"], p["norm1_b"]))
+    h = _layer_norm(x, p["norm1_g"], p["norm1_b"])
+    x = x + p["gamma1"] * _mha(p, h, h)
     x = x + p["gamma2"] * _ff(p, _layer_norm(x, p["norm2_g"], p["norm2_b"]))
     return _group_norm_tokens(x, p["normout_g"], p["normout_b"])
 
@@ -466,7 +467,7 @@ def init_params(rng: jax.Array, n_sources: int = 4, audio_channels: int = 2) -> 
         co_t = n_sources * audio_channels if d == 0 else chans[d - 1]
         p["decoder"].append(
             {
-                "rewrite_w": he((2 * ci, ci, 3, 1)),
+                "rewrite_w": he((2 * ci, ci, 3, 3)),
                 "rewrite_b": jnp.zeros((2 * ci,)),
                 "convtr_w": he((ci, co_s, KERNEL, 1), fan_in=ci * KERNEL),
                 "convtr_b": jnp.zeros((co_s,)),
@@ -530,6 +531,25 @@ def _segment_windows(length: int, seg: int, stride: int) -> list[int]:
     return offsets
 
 
+_FWD_CACHE: dict = {}
+
+
+def _batched_forward(n_sources: int, ch: int):
+    """Cached jit(vmap(forward)): a fresh lambda per apply_model call would
+    miss the jit cache and recompile the whole transformer per song."""
+    key = (n_sources, ch)
+    fn = _FWD_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            jax.vmap(
+                lambda params, m: forward(params, m, n_sources=n_sources, audio_channels=ch),
+                in_axes=(None, 0),
+            )
+        )
+        _FWD_CACHE[key] = fn
+    return fn
+
+
 def apply_model(
     params: dict,
     mix: np.ndarray,
@@ -560,16 +580,14 @@ def apply_model(
         [np.linspace(0.1, 1.0, seg // 2), np.linspace(1.0, 0.1, seg - seg // 2)]
     ).astype(np.float32)
 
-    batched_forward = jax.jit(
-        jax.vmap(lambda m: forward(params, m, n_sources=n_sources, audio_channels=ch))
-    )
+    batched_forward = _batched_forward(n_sources, ch)
 
     for shift_i in range(max(1, shifts)):
         offset = int(rng.integers(0, max_shift)) if shifts > 1 and shift_i > 0 else 0
         padded = np.pad(mix, ((0, 0), (offset, seg)))
         offsets = _segment_windows(L + offset, seg, stride)
         windows = np.stack([padded[:, o : o + seg] for o in offsets])  # [N, ch, seg]
-        stems = np.asarray(batched_forward(jnp.asarray(windows)))  # [N, S, ch, seg]
+        stems = np.asarray(batched_forward(params, jnp.asarray(windows)))  # [N, S, ch, seg]
         for o, st in zip(offsets, stems):
             a = o - offset
             lo = max(0, a)
@@ -741,6 +759,7 @@ def separate_stems(y: np.ndarray, sr: int, model_name: str = "htdemucs_6s") -> d
     params = _PARAMS or load_params()
     if params is None:
         return None
+    _PARAMS = params  # cache: don't re-read the checkpoint npz per song
     stems = MODEL_STEMS.get(model_name, MODEL_STEMS["htdemucs"])
     mix = np.stack([y, y]) if y.ndim == 1 else y  # mono → pseudo-stereo
     from ..io.resample import resample_poly_host

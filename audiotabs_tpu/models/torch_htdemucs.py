@@ -119,7 +119,9 @@ class HDecLayer(nn.Module):
         self.pad = (KERNEL - STRIDE) // 2
         if freq:
             self.conv_tr = nn.ConvTranspose2d(chin, chout, (KERNEL, 1), (STRIDE, 1))
-            self.rewrite = nn.Conv2d(chin, 2 * chin, (3, 1), padding=(1, 0))
+            # real HDecLayer passes integer kernel 1+2*context to Conv2d,
+            # which makes the freq-decoder rewrite a SQUARE 3x3 conv
+            self.rewrite = nn.Conv2d(chin, 2 * chin, 3, padding=1)
         else:
             self.conv_tr = nn.ConvTranspose1d(chin, chout, KERNEL, STRIDE)
             self.rewrite = nn.Conv1d(chin, 2 * chin, 3, padding=1)

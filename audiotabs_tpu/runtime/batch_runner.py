@@ -60,11 +60,11 @@ def _load_and_bucket(paths: list[Path], bucket_s: float) -> tuple[np.ndarray, li
 _BATCH_FN_CACHE: dict = {}
 
 
-def _batched_fn(mesh, sr: int, separate: bool, switch_penalty: float):
+def _batched_fn(mesh, sr: int, separate: bool, switch_penalty: float, chord_backend: str):
     """Cached jitted shard_map program. Rebuilding the closure per call
     would miss jax's jit cache and recompile through the relay every batch
     (~7 s/batch — the round-1 batch-throughput regression)."""
-    key = (mesh, sr, separate, switch_penalty)
+    key = (mesh, sr, separate, switch_penalty, chord_backend)
     fn = _BATCH_FN_CACHE.get(key)
     if fn is None:
         from jax import shard_map
@@ -74,7 +74,7 @@ def _batched_fn(mesh, sr: int, separate: bool, switch_penalty: float):
         fn = jax.jit(
             shard_map(
                 jax.vmap(
-                    lambda y: fused_analysis(
+                    lambda y, tl: fused_analysis(
                         y,
                         sr,
                         # None = auto (Pallas on TPU): the median kernel's
@@ -83,10 +83,12 @@ def _batched_fn(mesh, sr: int, separate: bool, switch_penalty: float):
                         use_pallas=None,
                         switch_penalty=switch_penalty,
                         separate=separate,
+                        chord_backend=chord_backend,
+                        true_len=tl,
                     )
                 ),
                 mesh=mesh,
-                in_specs=P("data", None),
+                in_specs=(P("data", None), P("data")),
                 out_specs=P("data"),
                 check_vma=False,
             )
@@ -95,24 +97,35 @@ def _batched_fn(mesh, sr: int, separate: bool, switch_penalty: float):
     return fn
 
 
-def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None):
+def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None, true_lens=None):
     """[B, T] → fused feature dict with a leading B axis, sharded over "data".
 
     B must be a multiple of the mesh's data-axis size (pad with zero rows
-    and drop them after if needed).
+    and drop them after if needed). ``true_lens`` [B] (samples) masks each
+    song's chord decode past its true end (defaults to the full row).
     """
     mesh = mesh or default_mesh()
     n_dev = mesh.shape["data"]
     B = batch.shape[0]
+    if true_lens is None:
+        true_lens = np.full((B,), batch.shape[1], dtype=np.int32)
+    true_lens = np.asarray(true_lens, dtype=np.int32)
     pad_rows = (-B) % n_dev
     if pad_rows:
         batch = np.concatenate([batch, np.zeros((pad_rows,) + batch.shape[1:], batch.dtype)])
+        true_lens = np.concatenate([true_lens, np.full((pad_rows,), batch.shape[1], np.int32)])
 
     # same weight-free HPSS separation fallback as the single-song pipeline
     # (htdemucs weights are not applied on the batch path)
-    fn = _batched_fn(mesh, sr, config.settings.ENABLE_DEMUCS, config.settings.SWITCH_PENALTY)
+    s = config.settings
+    backend = s.CHORD_DETECTION_BACKEND
+    fn = _batched_fn(
+        mesh, sr, s.ENABLE_DEMUCS, s.SWITCH_PENALTY,
+        backend if backend in ("deep", "template") else "both",
+    )
     device_batch = jax.device_put(jnp.asarray(batch), NamedSharding(mesh, P("data", None)))
-    host = jax.device_get(fn(device_batch))
+    device_lens = jax.device_put(jnp.asarray(true_lens), NamedSharding(mesh, P("data")))
+    host = jax.device_get(fn(device_batch, device_lens))
     if pad_rows:
         host = {k: v[:B] for k, v in host.items()}
     return host

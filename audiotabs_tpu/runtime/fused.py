@@ -20,13 +20,18 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("sr", "use_pallas", "switch_penalty", "separate"))
+@partial(
+    jax.jit,
+    static_argnames=("sr", "use_pallas", "switch_penalty", "separate", "chord_backend"),
+)
 def fused_analysis(
     y,
     sr: int,
     use_pallas: bool | None = None,
     switch_penalty: float = 2.5,
     separate: bool = False,
+    chord_backend: str = "both",
+    true_len=None,
 ):
     """y [T] float32 → dict of every device-computed feature the pipeline needs.
 
@@ -35,9 +40,20 @@ def fused_analysis(
     the beat-tracking source (reference pipeline.py:1649-1652 feeds the
     Demucs drums stem to beat tracking) while the harmonic component is the
     transcription stem — all inside the same single-dispatch program.
+
+    ``chord_backend`` ("template" | "deep" | "both") selects which on-device
+    chord decode(s) to run — the unused Viterbi scan is dead weight at
+    trace time, not runtime.
+
+    ``true_len`` (traced scalar, samples) masks chord emissions past the
+    true song end to uniform so the global Viterbi backtrack near the crop
+    point is not pulled by the wrap-padded tail (the padded frames repeat
+    the song's OPENING chord).
     """
     from ..chords.extract import CHROMA_FPS
     from ..chords.templates import build_chord_library, emission_probs
+    from ..models.basicpitch import cnn_apply, hcqt
+    from ..models.basicpitch import load_params as load_bp
     from ..models.basicpitch import salience_posteriors
     from ..models.beat_rnn import beat_activation
     from ..ops.features import rms, spectral_centroid, spectral_rolloff
@@ -57,48 +73,69 @@ def fused_analysis(
     # mirroring drums-driven beat tracking; else the full mix)
     out["beat_activation"] = beat_activation(y_perc if separate else y, sr, 100)
 
-    # 3. AMT posteriors on the harmonic component
-    onset_post, frame_post = salience_posteriors(y_harm, sr)
+    # 3. AMT posteriors on the harmonic component: the trained Basic Pitch
+    # CNN when its checkpoint exists (resolved at trace time), else the
+    # weight-free harmonic salience. The chord CHROMA always folds the
+    # salience frame posterior — chords and notes use separate feature
+    # paths, exactly as the reference separates Basic Pitch (AMT) from
+    # DeepChroma (chords); XLA CSEs the shared hCQT between the two.
+    sal_onset, sal_frame = salience_posteriors(y_harm, sr)
+    bp_params = load_bp()
+    if bp_params is not None:
+        onset_post, frame_post, _contour = cnn_apply(bp_params, hcqt(y_harm, sr))
+    else:
+        onset_post, frame_post = sal_onset, sal_frame
     out["amt_onset"] = onset_post
     out["amt_frame"] = frame_post
 
     # 4. chord chroma + template emissions at 10 fps. The chroma is the
-    # pitch-class folding of the AMT salience (harmonics already suppressed)
-    # — markedly closer to the reference's DeepChroma chord timeline than
-    # raw CQT chroma on the golden artifacts.
+    # pitch-class folding of the AMT frame posteriors (harmonics already
+    # suppressed) — markedly closer to the reference's DeepChroma chord
+    # timeline than raw CQT chroma on the golden artifacts.
     from ..chords.extract import salience_chroma
 
     hop = int(round(sr / CHROMA_FPS))
     t_ch = y.shape[-1] // hop + 1
-    chroma = salience_chroma(frame_post, t_ch)  # [12, t_ch]
+    chroma = salience_chroma(sal_frame, t_ch)  # [12, t_ch]
     chroma_n = chroma / (jnp.linalg.norm(chroma, axis=0, keepdims=True) + 1e-9)
     energy = rms(y_harm, 2048, hop)
     energy = energy[:t_ch] / (jnp.max(energy[:t_ch]) + 1e-9)
     out["chroma"] = chroma_n
     out["chord_energy"] = energy
     labels, templates = build_chord_library("majmin7")
-    out["chord_emissions"] = emission_probs(chroma_n, energy, labels, templates)
+    emissions = emission_probs(chroma_n, energy, labels, templates)
+    if true_len is not None:
+        valid = jnp.arange(t_ch) * hop < true_len
+        emissions = jnp.where(valid[None, :], emissions, 1.0 / emissions.shape[0])
+    out["chord_emissions"] = emissions
 
     # 4b. chord Viterbi decode (decode/viterbi.py) — the whole template chord
-    # path now completes on-device; the host only segments the frame path
-    from ..decode.viterbi import viterbi_constant_switch
+    # path completes on-device; the host only segments the frame path
+    if chord_backend in ("template", "both"):
+        from ..decode.viterbi import viterbi_constant_switch
 
-    chord_path, chord_conf = viterbi_constant_switch(
-        out["chord_emissions"], switch_penalty
-    )
-    out["chord_path"] = chord_path
-    out["chord_conf"] = chord_conf
+        chord_path, chord_conf = viterbi_constant_switch(emissions, switch_penalty)
+        out["chord_path"] = chord_path
+        out["chord_conf"] = chord_conf
 
     # 4b'. CRF chord decode (the default "deep" backend) also completes
     # on-device so the default config stays ONE dispatch per song. CRF
     # weights are resolved at trace time (template-derived emissions when
     # no trained checkpoint is present).
-    from ..models import crf_chords
+    if chord_backend in ("deep", "both"):
+        from ..models import crf_chords
 
-    crf_params = crf_chords.load_params() or crf_chords.template_emission_params()
-    crf_path, crf_conf = crf_chords.decode(crf_params, chroma_n.T)
-    out["crf_path"] = crf_path
-    out["crf_conf"] = crf_conf
+        crf_params = crf_chords.load_params() or crf_chords.template_emission_params()
+        feats_t = chroma_n.T
+        if true_len is not None:
+            valid = jnp.arange(t_ch) * hop < true_len
+            # uniform emission past the song end: the backtrack then simply
+            # extends the last real chord (transition prior), instead of
+            # being pulled toward the wrap-padded opening chord
+            feats_t = jnp.where(valid[:, None], feats_t, 0.0)
+        crf_path, crf_conf = crf_chords.decode(crf_params, feats_t)
+        out["crf_path"] = crf_path
+        out["crf_conf"] = crf_conf
 
     # 4c. DBN beat decode (decode/dbn_beats.py) — Viterbi + backtrack
     # on-device; the host only picks activation peaks per beat window

@@ -141,6 +141,7 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
             trace_ctx = (
                 jax.profiler.trace(s.PROFILE_DIR) if s.PROFILE_DIR else contextlib.nullcontext()
             )
+            backend = s.CHORD_DETECTION_BACKEND
             with trace_ctx:
                 feats = jax.device_get(
                     fused_analysis(
@@ -148,6 +149,8 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
                         sr,
                         switch_penalty=s.SWITCH_PENALTY,
                         separate=hpss_fallback,
+                        chord_backend=backend if backend in ("deep", "template") else "both",
+                        true_len=true_len,
                     )
                 )
         except Exception as exc:
@@ -330,18 +333,25 @@ def _pipeline_tail(
             from ..models.basicpitch import notes_from_posteriors
 
             bp_params = load_bp()
-            if feats is not None and bp_params is None:
+            if feats is not None:
                 fps_amt = sr / BP_HOP
                 t_amt = int(true_len / BP_HOP) + 1
+                # the salience posteriors run hotter than a trained CNN's
+                # calibrated sigmoids; cap the thresholds only on that path
+                if bp_params is None:
+                    onset_thr_eff = min(onset_thr, 0.45)
+                    frame_thr_eff = min(frame_thr, 0.35)
+                else:
+                    onset_thr_eff, frame_thr_eff = onset_thr, frame_thr
                 base_events = notes_from_posteriors(
                     np.asarray(feats["amt_onset"], dtype=np.float32)[:t_amt],
                     np.asarray(feats["amt_frame"], dtype=np.float32)[:t_amt],
                     fps=fps_amt,
-                    onset_threshold=min(onset_thr, 0.45),
-                    frame_threshold=min(frame_thr, 0.35),
+                    onset_threshold=onset_thr_eff,
+                    frame_threshold=frame_thr_eff,
                     min_note_ms=s.BASIC_PITCH_MIN_NOTE_MS,
                 )
-                base_backend = "basicpitch_jax"
+                base_backend = "basicpitch_jax_cnn" if bp_params is not None else "basicpitch_jax"
             else:
                 from ..models.basicpitch import transcribe_polyphonic
 

@@ -70,7 +70,8 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
-        self.send_header("Access-Control-Allow-Origin", config.settings.FRONTEND_ORIGIN or "null")
+        if config.settings.FRONTEND_ORIGIN:
+            self.send_header("Access-Control-Allow-Origin", config.settings.FRONTEND_ORIGIN)
         self.end_headers()
         self.wfile.write(body)
 
@@ -119,7 +120,8 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(200)
         self.send_header("Content-Type", mime)
         self.send_header("Content-Length", str(len(data)))
-        self.send_header("Access-Control-Allow-Origin", config.settings.FRONTEND_ORIGIN or "null")
+        if config.settings.FRONTEND_ORIGIN:
+            self.send_header("Access-Control-Allow-Origin", config.settings.FRONTEND_ORIGIN)
         self.end_headers()
         self.wfile.write(data)
 

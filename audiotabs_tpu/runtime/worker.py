@@ -77,7 +77,9 @@ def main(argv: list[str] | None = None) -> int:
             result = manager.process_job(job_id)
         finally:
             done_evt.set()
-            manager.release_claim(job_id, worker_id)
+        # released only on normal return: if process_job raised, the claim
+        # file must survive so requeue_stale_claims can recover the job
+        manager.release_claim(job_id, worker_id)
         _LOG.info("job %s → %s in %.1fs", job_id, result.get("status"), time.perf_counter() - t0)
     return 0
 

@@ -37,18 +37,7 @@ WINDOW = 256  # frames per training window (matches chunked inference)
 MARGIN = 32
 
 
-def f_measure(est: np.ndarray, ref: np.ndarray, tol: float = 0.07) -> float:
-    if len(est) == 0 or len(ref) == 0:
-        return 0.0
-    matched, tp = set(), 0
-    for e in est:
-        d = np.abs(ref - e)
-        j = int(np.argmin(d))
-        if d[j] <= tol and j not in matched:
-            matched.add(j)
-            tp += 1
-    p, r = tp / len(est), tp / len(ref)
-    return 2 * p * r / (p + r + 1e-12)
+from ..analysis.metrics import beat_f_measure as f_measure  # shared with the CI gates
 
 
 def build_dataset(n_clips: int, seed: int, sr: int = 22050, duration: float = 12.0):

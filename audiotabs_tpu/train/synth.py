@@ -170,11 +170,16 @@ def synth_note_clip(
     sr: int = 22050,
     polyphony: int = 3,
 ) -> tuple[np.ndarray, list[tuple[float, float, int]]]:
-    """→ (mono audio, [(start_s, end_s, midi_pitch), ...]) for AMT training."""
+    """→ (mono audio, [(start_s, end_s, midi_pitch), ...]) for AMT training.
+
+    Timbres vary per phrase (pure sine / additive tone / plucked string)
+    so the AMT model doesn't overfit a single spectral envelope — real
+    inputs range from clean electronic tones to acoustic guitar."""
     n = int(duration_s * sr)
     y = np.zeros(n, dtype=np.float64)
     events: list[tuple[float, float, int]] = []
     t = float(rng.uniform(0.0, 0.3))
+    timbre = rng.choice(["sine", "tone", "pluck"])
     while t < duration_s - 0.3:
         k = int(rng.integers(1, polyphony + 1))
         dur = float(rng.uniform(0.2, 0.9))
@@ -190,9 +195,17 @@ def synth_note_clip(
             seg = np.arange(d) / sr
             f = 440.0 * 2 ** ((p - 69) / 12)
             amp = float(rng.uniform(0.15, 0.35))
-            y[a : a + d] += amp * _tone(f, seg, decay=2.5 / dur)
+            if timbre == "sine":
+                tone = np.sin(2 * np.pi * f * seg) * np.exp(-seg * rng.uniform(0.5, 3.0) / dur)
+            elif timbre == "tone":
+                tone = _tone(f, seg, decay=2.5 / dur)
+            else:
+                tone = _pluck(f, seg, rng, decay=2.0 / dur)
+            y[a : a + d] += amp * tone
             events.append((t, t + dur, p))
         t += float(rng.uniform(0.25, 0.8))
+        if rng.uniform() < 0.15:  # occasional timbre change mid-clip
+            timbre = rng.choice(["sine", "tone", "pluck"])
     y += rng.uniform(0.001, 0.008) * rng.standard_normal(n)
     peak = np.abs(y).max() + 1e-9
     return (0.9 * y / peak).astype(np.float32), events

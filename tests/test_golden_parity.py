@@ -99,19 +99,12 @@ def test_golden_beat_f_measure(golden_available, golden_run):
     _result, job = golden_run
     ref = json.loads((golden_available / "out" / "beat_times.json").read_text())
     ours = json.loads((job / "out" / "beat_times.json").read_text())
+    from audiotabs_tpu.analysis.metrics import beat_f_measure
+
     ref_beats = np.asarray(ref["beat_times_raw_s"], dtype=np.float64)
     our_beats = np.asarray(ours["raw_beat_times"], dtype=np.float64)
     assert our_beats.size
-
-    matched, tp = set(), 0
-    for e in our_beats:
-        d = np.abs(ref_beats - e)
-        j = int(np.argmin(d))
-        if d[j] <= 0.07 and j not in matched:
-            matched.add(j)
-            tp += 1
-    p, r = tp / len(our_beats), tp / len(ref_beats)
-    f = 2 * p * r / (p + r + 1e-12)
+    f = beat_f_measure(our_beats, ref_beats, tol=0.07)
     # trained-BLSTM operating point ≈ 0.69 (was 0.56 with the DSP flux
     # activation); the gate protects against regression and ratchets up
     # as the beat front end improves further

@@ -42,7 +42,7 @@ def test_pipeline_end_to_end(melody_wav, tmp_path, monkeypatch):
     assert isinstance(result, JobResult)
     assert result.job_id == "testjob1"
     assert 40 <= result.tempo_bpm <= 250
-    assert result.transcription_backend in ("pyin_melody", "basicpitch_jax")
+    assert result.transcription_backend in ("pyin_melody", "basicpitch_jax", "basicpitch_jax_cnn")
     assert result.score is not None and len(result.score.measures) >= 1
 
     # note events: C major pitches present
