@@ -332,6 +332,7 @@ def forward(params: dict, mix, n_sources: int = 4, audio_channels: int = 2):
     L must be a multiple of ALIGN (=1024). Mirrors torch HTDemucs.forward
     (normalization, branch structure, CaC masking, denormalization).
     """
+    params = {k: v for k, v in params.items() if k != "meta_segment"}
     S = n_sources
     a_ch = audio_channels
     L = mix.shape[-1]
@@ -373,7 +374,7 @@ def forward(params: dict, mix, n_sources: int = 4, audio_channels: int = 2):
     pe1 = jnp.asarray(create_sin_embedding(tok_t.shape[0], D))
     tok_t = _layer_norm(tok_t, params["norm_in_t_g"], params["norm_in_t_b"]) + pe1
 
-    for i in range(T_LAYERS):
+    for i in range(len(params["tlayers"])):
         ls, lt = params["tlayers"][i], params["tlayers_t"][i]
         if i % 2 == 1:  # classic_parity=1: odd layers are self-attention
             tok_s = _self_layer(ls, tok_s)
@@ -406,9 +407,22 @@ def forward(params: dict, mix, n_sources: int = 4, audio_channels: int = 2):
 # ------------------------------------------------------------ random init --
 
 
-def init_params(rng: jax.Array, n_sources: int = 4, audio_channels: int = 2) -> dict:
-    """Shape-correct random init of the full parameter pytree (used by shape
-    tests and as the training start; real weights come from the converter)."""
+def init_params(
+    rng: jax.Array,
+    n_sources: int = 4,
+    audio_channels: int = 2,
+    channels: int = CHANNELS,
+    bottom: int = BOTTOM_CHANNELS,
+    t_layers: int = T_LAYERS,
+    t_ff: int | None = None,
+) -> dict:
+    """Shape-correct random init of the full parameter pytree. Defaults give
+    the released-htdemucs sizing (converter target); smaller ``channels``/
+    ``bottom``/``t_layers`` give the reduced variant used for training from
+    scratch on synthetic stems (the forward derives every size from the
+    params, so variants need no code changes). ``bottom`` must be divisible
+    by T_HEADS(=8) and 4."""
+    t_ff = t_ff or 4 * bottom
     keys = iter(jax.random.split(rng, 256))
 
     def he(shape, fan_in=None):
@@ -434,7 +448,7 @@ def init_params(rng: jax.Array, n_sources: int = 4, audio_channels: int = 2) -> 
             )
         return {"blocks": blocks}
 
-    chans = [CHANNELS * GROWTH**i for i in range(DEPTH)]  # 48, 96, 192, 384
+    chans = [channels * GROWTH**i for i in range(DEPTH)]  # default 48..384
     spec_in = 2 * audio_channels
 
     p: dict = {"encoder": [], "tencoder": [], "decoder": [], "tdecoder": []}
@@ -487,7 +501,7 @@ def init_params(rng: jax.Array, n_sources: int = 4, audio_channels: int = 2) -> 
     )
 
     dim = chans[-1]
-    D = BOTTOM_CHANNELS
+    D = bottom
     p["up_s_w"] = he((D, dim))
     p["up_s_b"] = jnp.zeros((D,))
     p["up_t_w"] = he((D, dim))
@@ -508,8 +522,8 @@ def init_params(rng: jax.Array, n_sources: int = 4, audio_channels: int = 2) -> 
             "v_b": jnp.zeros((D,)), "o_b": jnp.zeros((D,)),
             "norm1_g": jnp.ones((D,)), "norm1_b": jnp.zeros((D,)),
             "norm2_g": jnp.ones((D,)), "norm2_b": jnp.zeros((D,)),
-            "lin1_w": he((D, T_FF)), "lin1_b": jnp.zeros((T_FF,)),
-            "lin2_w": he((T_FF, D)), "lin2_b": jnp.zeros((D,)),
+            "lin1_w": he((D, t_ff)), "lin1_b": jnp.zeros((t_ff,)),
+            "lin2_w": he((t_ff, D)), "lin2_b": jnp.zeros((D,)),
             "gamma1": jnp.full((D,), 1e-4), "gamma2": jnp.full((D,), 1e-4),
             "normout_g": jnp.ones((D,)), "normout_b": jnp.zeros((D,)),
         }
@@ -518,8 +532,8 @@ def init_params(rng: jax.Array, n_sources: int = 4, audio_channels: int = 2) -> 
             lp["norm3_b"] = jnp.zeros((D,))
         return lp
 
-    p["tlayers"] = [tlayer_init(cross=(i % 2 == 0)) for i in range(T_LAYERS)]
-    p["tlayers_t"] = [tlayer_init(cross=(i % 2 == 0)) for i in range(T_LAYERS)]
+    p["tlayers"] = [tlayer_init(cross=(i % 2 == 0)) for i in range(t_layers)]
+    p["tlayers_t"] = [tlayer_init(cross=(i % 2 == 0)) for i in range(t_layers)]
     return p
 
 
@@ -568,7 +582,13 @@ def apply_model(
     """
     rng = rng or np.random.default_rng(0)
     ch, L = mix.shape
-    seg = int(SEGMENT_SEC * sr)
+    # transformers generalize poorly across token counts: infer at the
+    # segment length the checkpoint was trained with when it records one
+    # (demucs' use_train_segment semantics)
+    if "meta_segment" in params:
+        seg = int(np.asarray(params["meta_segment"]))
+    else:
+        seg = int(SEGMENT_SEC * sr)
     seg = ((seg + ALIGN - 1) // ALIGN) * ALIGN
     stride = max(ALIGN, int((1 - overlap) * seg) // ALIGN * ALIGN)
     max_shift = int(0.5 * sr)

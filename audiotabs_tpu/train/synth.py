@@ -209,3 +209,91 @@ def synth_note_clip(
     y += rng.uniform(0.001, 0.008) * rng.standard_normal(n)
     peak = np.abs(y).max() + 1e-9
     return (0.9 * y / peak).astype(np.float32), events
+
+
+def synth_multitrack(
+    rng: np.random.Generator,
+    duration_s: float = 3.0,
+    sr: int = 44100,
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (mix [2, T], stems [4, 2, T]) in htdemucs stem order
+    (drums, bass, other, vocals) — exact ground truth for separation
+    training; stems are mono sources with random stereo panning."""
+    n = int(duration_s * sr)
+    tempo = float(np.exp(rng.uniform(np.log(70.0), np.log(170.0))))
+    period = 60.0 / tempo
+    beats = np.arange(rng.uniform(0, period), duration_s, period)
+    root = int(rng.integers(40, 52))
+    scale = np.array([0, 2, 4, 5, 7, 9, 11])
+    prog = [root + int(rng.choice(scale)) for _ in range(4)]
+    quals = [rng.choice(list(_CHORDS)) for _ in range(4)]
+
+    drums = np.zeros(n)
+    bass = np.zeros(n)
+    other = np.zeros(n)
+    vocals = np.zeros(n)
+
+    for i, b in enumerate(beats):
+        a = int(b * sr)
+        # drums: kick on every beat, snare on 2/4, hats on halves
+        dur = int(0.05 * sr)
+        if a + dur < n:
+            seg = np.arange(dur) / sr
+            drums[a : a + dur] += 0.8 * np.sin(
+                2 * np.pi * (140 * np.exp(-seg * 30) + 45) * seg
+            ) * np.exp(-seg * 60)
+            if i % 2 == 1:
+                drums[a : a + dur] += 0.5 * _noise_burst(rng, dur, 5.0)
+        ha = int((b + period / 2) * sr)
+        hd = int(0.02 * sr)
+        if ha + hd < n:
+            drums[ha : ha + hd] += 0.25 * _noise_burst(rng, hd, 12.0)
+
+        ch = prog[(i // 2) % 4]
+        qual = quals[(i // 2) % 4]
+        # bass: root note an octave down, one pluck per beat
+        dur = min(int(period * sr * 0.9), n - a)
+        if dur > 0:
+            seg = np.arange(dur) / sr
+            fb = 440.0 * 2 ** ((ch - 24 - 69) / 12)
+            bass[a : a + dur] += 0.6 * _pluck(fb, seg, rng, decay=2.0 / period)
+        # other: strummed chord every 2 beats
+        if i % 2 == 0 and dur > 0:
+            dur2 = min(int(period * sr * 1.8), n - a)
+            seg = np.arange(dur2) / sr
+            for k, iv in enumerate(_CHORDS[qual]):
+                f = 440.0 * 2 ** ((ch + iv - 69) / 12)
+                aa = min(a + int(0.005 * k * sr), n - 1)
+                d2 = min(dur2, n - aa)
+                other[aa : aa + d2] += 0.3 * _pluck(f, seg[:d2], rng, decay=1.0 / period)
+
+    # vocals: vibrato melody phrases (the most "voiced" synthetic source)
+    t0 = float(rng.uniform(0, 0.4))
+    while t0 < duration_s - 0.3:
+        p = root + 24 + int(rng.choice(scale))
+        dur = float(rng.uniform(0.3, 0.9))
+        a = int(t0 * sr)
+        d = min(int(dur * sr), n - a)
+        if d > 0:
+            seg = np.arange(d) / sr
+            f0 = 440.0 * 2 ** ((p - 69) / 12)
+            vib = f0 * (1.0 + 0.015 * np.sin(2 * np.pi * 5.5 * seg))
+            phase = 2 * np.pi * np.cumsum(vib) / sr
+            env = np.minimum(1, 8 * seg) * np.minimum(1, 8 * (seg[-1] - seg + 1e-3))
+            vocals[a : a + d] += 0.5 * env * (
+                np.sin(phase) + 0.4 * np.sin(2 * phase) + 0.15 * np.sin(3 * phase)
+            )
+        t0 += dur + float(rng.uniform(0.05, 0.4))
+
+    stems_mono = [drums, bass, other, vocals]
+    levels = rng.uniform(0.5, 1.0, size=4)
+    pans = rng.uniform(0.35, 0.65, size=4)  # near-center panning
+    stems = np.zeros((4, 2, n), dtype=np.float32)
+    for k, st in enumerate(stems_mono):
+        st = levels[k] * st
+        stems[k, 0] = pans[k] * st
+        stems[k, 1] = (1 - pans[k]) * st
+    mix = stems.sum(axis=0)
+    peak = np.abs(mix).max() + 1e-9
+    g = 0.9 / peak
+    return (mix * g).astype(np.float32), (stems * g).astype(np.float32)
