@@ -176,6 +176,23 @@ def decode_to_mono_44k(input_path: str | os.PathLike, out_path: str | os.PathLik
         write_wav(out_path, x, target_sr)
         return x, target_sr
 
+    # any other container (ogg/flac/m4a/...) through the FFmpeg-library shim
+    from .avdecode import av_available, decode_any
+
+    if av_available():
+        try:
+            x, sr = decode_any(input_path)
+        except RuntimeError:
+            x = None
+        if x is not None and x.size:
+            if sr != target_sr:
+                from .resample import resample_poly_host
+
+                x = resample_poly_host(x, sr, target_sr)
+            x = x.astype(np.float32)
+            write_wav(out_path, x, target_sr)
+            return x, target_sr
+
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg is None:
         raise RuntimeError(

@@ -83,3 +83,36 @@ def test_decode_to_mono_44k_accepts_mp3(mp3_fixture, tmp_path):
     assert sr == 44100
     assert len(y) > 44100  # ~2 s decoded
     assert (tmp_path / "out.wav").exists()
+
+
+def test_avdecode_shim_on_mp3(mp3_fixture):
+    """The FFmpeg-library shim decodes the same fixture (it covers ANY
+    container; MP3 is the format we can synthesize a fixture for)."""
+    from audiotabs_tpu.io.avdecode import av_available, decode_any
+
+    if not av_available():
+        pytest.skip("libaudiotabs_decode.so not built")
+    path, tone, sr = mp3_fixture
+    y, rate = decode_any(path)
+    assert rate == sr
+    n = min(len(y), len(tone), sr)
+    corr = np.correlate(y[: n + 4096], tone[:n], mode="valid")
+    lag = int(np.argmax(corr))
+    c = np.corrcoef(y[lag : lag + n], tone[:n])[0, 1]
+    assert c > 0.97, c
+
+
+def test_avdecode_shim_on_wav(tmp_path):
+    from audiotabs_tpu.io import write_wav
+    from audiotabs_tpu.io.avdecode import av_available, decode_any
+
+    if not av_available():
+        pytest.skip("libaudiotabs_decode.so not built")
+    sr = 22050
+    t = np.arange(sr) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 330.0 * t)).astype(np.float32)
+    p = tmp_path / "tone.wav"
+    write_wav(p, tone, sr)
+    y, rate = decode_any(p)
+    assert rate == sr
+    np.testing.assert_allclose(y[: len(tone)], tone, atol=1e-3)
