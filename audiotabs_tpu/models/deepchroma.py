@@ -87,24 +87,46 @@ def init_params(rng: jax.Array, input_dim: int) -> dict:
 def apply(params: dict, feats):
     """[T, D] features → [T, 12] sigmoid chroma."""
     x = feats
+    if "feat_mean" in params:
+        x = (x - params["feat_mean"]) / params["feat_std"]
     for layer in params["layers"]:
         x = jax.nn.relu(x @ layer["w"] + layer["b"])
     return jax.nn.sigmoid(x @ params["out_w"] + params["out_b"])
 
 
-def load_params(path: str | None = None) -> dict | None:
-    path = path or os.environ.get("DEEPCHROMA_WEIGHTS", "")
+def default_weights_path() -> str:
+    """Checked-in trained weights; DEEPCHROMA_WEIGHTS overrides ('off'
+    disables and falls back to the salience-folded chroma)."""
+    env = os.environ.get("DEEPCHROMA_WEIGHTS")
+    if env is not None:
+        return "" if env.lower() in ("off", "none", "0") else env
+    from pathlib import Path
+
+    return str(Path(__file__).resolve().parent.parent / "weights" / "deepchroma.npz")
+
+
+@lru_cache(maxsize=2)
+def _load_params_cached(path: str) -> dict | None:
     if not path or not os.path.exists(path):
         return None
     data = np.load(path)
     layers = []
     i = 0
     while f"l{i}_w" in data:
-        layers.append({"w": jnp.asarray(data[f"l{i}_w"]), "b": jnp.asarray(data[f"l{i}_b"])})
+        # numpy on purpose: this loader can run at fused-program trace time
+        layers.append({"w": np.asarray(data[f"l{i}_w"]), "b": np.asarray(data[f"l{i}_b"])})
         i += 1
     if not layers:
         return None
-    return {"layers": layers, "out_w": jnp.asarray(data["out_w"]), "out_b": jnp.asarray(data["out_b"])}
+    out = {"layers": layers, "out_w": np.asarray(data["out_w"]), "out_b": np.asarray(data["out_b"])}
+    for k in ("feat_mean", "feat_std"):
+        if k in data.files:
+            out[k] = np.asarray(data[k])
+    return out
+
+
+def load_params(path: str | None = None) -> dict | None:
+    return _load_params_cached(path or default_weights_path())
 
 
 def deep_chroma_apply(params: dict, y: np.ndarray, sr: int) -> np.ndarray:

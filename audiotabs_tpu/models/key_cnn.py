@@ -80,12 +80,31 @@ def apply(params: dict, feats):
     return jax.nn.softmax(pooled @ params["out_w"] + params["out_b"])
 
 
+def default_weights_path() -> str:
+    """Checked-in trained weights; KEY_CNN_WEIGHTS overrides ('off' disables
+    and falls back to the Krumhansl-profile estimator)."""
+    env = os.environ.get("KEY_CNN_WEIGHTS")
+    if env is not None:
+        return "" if env.lower() in ("off", "none", "0") else env
+    from pathlib import Path
+
+    return str(Path(__file__).resolve().parent.parent / "weights" / "key_cnn.npz")
+
+
+_PARAMS_CACHE: dict = {}
+
+
 def load_params(path: str | None = None) -> dict | None:
-    path = path or os.environ.get("KEY_CNN_WEIGHTS", "")
+    path = path or default_weights_path()
+    if path in _PARAMS_CACHE:
+        return _PARAMS_CACHE[path]
     if not path or not os.path.exists(path):
         return None
     data = np.load(path)
-    return {k: jnp.asarray(v) for k, v in data.items()}
+    # numpy on purpose: this loader can run at fused-program trace time
+    params = {k: np.asarray(v) for k, v in data.items()}
+    _PARAMS_CACHE[path] = params
+    return params
 
 
 def estimate_key_cnn(y: np.ndarray, sr: int, params: dict | None = None):

@@ -167,6 +167,14 @@ def fused_analysis(
         out["content_starts"] = jnp.asarray(starts)
         out["content_metrics"] = jnp.stack([disp, dens, per, harm], axis=1)
 
+    # 5b. key CNN (trace-time): 24-class key probabilities when trained
+    # weights exist; else the host falls back to Krumhansl profiles
+    from ..models import key_cnn
+
+    kc_params = key_cnn.load_params()
+    if kc_params is not None:
+        out["key_probs"] = key_cnn.apply(kc_params, key_cnn.features(y_harm, sr))
+
     # 6. calibration characteristics (audio_quality.py metrics)
     r = rms(y, 2048, 512)
     S = jnp.abs(stft(y, n_fft=1024, hop=512))

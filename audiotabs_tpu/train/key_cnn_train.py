@@ -1,0 +1,144 @@
+"""Train the key-classification CNN (models/key_cnn.py) on synthetic keys.
+
+The reference uses madmom's pretrained CNNKeyRecognitionProcessor
+(reference: backend/app/services/theory/key.py:99-178); no checkpoint
+exists here, so the same topology trains on synthesized clips with
+diatonic chord progressions anchored on a known tonic/mode
+(train/synth.synth_key_clip).
+
+Save gates: (1) held-out key accuracy beats the Krumhansl-profile
+estimator the pipeline defaults to, and (2) the golden WAV still resolves
+to G major.
+
+Usage:
+    python -m audiotabs_tpu.train.key_cnn_train \
+        [--clips 96] [--steps 1500] [--out audiotabs_tpu/weights/key_cnn.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import key_cnn as kc
+
+SR = 22050
+CLIP_S = 12.0
+
+
+def build_clips(n: int, seed: int):
+    from .synth import synth_key_clip
+
+    rng = np.random.default_rng(seed)
+    feats, labels, audio = [], [], []
+    for _ in range(n):
+        y, pc, mode = synth_key_clip(rng, CLIP_S, SR)
+        f = np.asarray(kc.features(jnp.asarray(y), SR))
+        feats.append(f)
+        labels.append(pc + (0 if mode == "major" else 12))
+        audio.append(y)
+    T = min(f.shape[0] for f in feats)
+    X = np.stack([f[:T] for f in feats])
+    return X, np.asarray(labels, np.int32), audio
+
+
+def _krumhansl_label(y: np.ndarray) -> int | None:
+    from ..chords.extract import chroma_features
+    from ..theory.key import estimate_key_from_chroma
+
+    chroma, _ = chroma_features(jnp.asarray(y), SR)
+    est = estimate_key_from_chroma(np.asarray(chroma))
+    if est is None:
+        return None
+    return est.tonic_pc + (0 if est.mode == "major" else 12)
+
+
+def train(
+    n_clips: int = 96,
+    steps: int = 1500,
+    batch: int = 16,
+    seed: int = 0,
+    out_path: str = "audiotabs_tpu/weights/key_cnn.npz",
+) -> dict:
+    t0 = time.time()
+    X, Y, _ = build_clips(n_clips, seed)
+    Xv, Yv, val_audio = build_clips(24, seed + 91_000)
+    print(f"dataset: {X.shape} ({time.time()-t0:.0f}s)", flush=True)
+
+    params = kc.init_params(jax.random.PRNGKey(seed), n_bands=X.shape[2])
+    sched = optax.cosine_decay_schedule(2e-3, steps, alpha=0.05)
+    opt = optax.adamw(sched, weight_decay=1e-4)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, xb, yb):
+        probs = jax.vmap(lambda f: kc.apply(p, f))(xb)  # [B, 24]
+        probs = jnp.clip(probs, 1e-6, 1.0)
+        return -jnp.log(probs[jnp.arange(xb.shape[0]), yb]).mean()
+
+    @jax.jit
+    def update(p, o, xb, yb):
+        loss, grads = jax.value_and_grad(loss_fn)(p, xb, yb)
+        updates, o = opt.update(grads, o, p)  # adamw needs params
+        return optax.apply_updates(p, updates), o, loss
+
+    rng = np.random.default_rng(seed)
+    for step in range(steps):
+        sel = rng.choice(n_clips, size=batch, replace=False)
+        params, opt_state, loss = update(params, opt_state, jnp.asarray(X[sel]), jnp.asarray(Y[sel]))
+        if step % 200 == 0 or step == steps - 1:
+            print(f"step {step}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
+
+    pred = np.asarray(jax.vmap(lambda f: kc.apply(params, f))(jnp.asarray(Xv))).argmax(axis=1)
+    acc_cnn = float((pred == Yv).mean())
+    kr = [_krumhansl_label(y) for y in val_audio]
+    acc_kr = float(np.mean([k == t for k, t in zip(kr, Yv) if k is not None]))
+    print(f"val key accuracy: CNN {acc_cnn:.3f} vs Krumhansl {acc_kr:.3f}", flush=True)
+
+    g_ok = _golden_key_ok(params)
+    print(f"golden key: {'G major ok' if g_ok else 'FAIL'}", flush=True)
+
+    if acc_cnn > acc_kr and g_ok:
+        Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+        np.savez(out_path, **{k: np.asarray(v) for k, v in params.items()})
+        print(f"saved {out_path}", flush=True)
+    else:
+        print("NOT saved: CNN fails an acceptance gate", flush=True)
+    return {"acc_cnn": acc_cnn, "acc_krumhansl": acc_kr, "golden_ok": g_ok, "params": params}
+
+
+def _golden_key_ok(params) -> bool:
+    golden = Path("/root/reference/data/jobs/c34b660dfb454be486983b1913bab38c")
+    if not (golden / "input" / "upload.wav").exists():
+        return True
+    from ..io import load_wav, peak_normalize, resample_poly_host
+    from ..ops.hpss import hpss
+
+    yg, srg = load_wav(golden / "input" / "upload.wav")
+    yg = resample_poly_host(peak_normalize(yg), srg, SR)
+    yh = np.asarray(hpss(jnp.asarray(yg))[0])
+    probs = np.asarray(kc.apply(params, kc.features(jnp.asarray(yh), SR)))
+    return kc.key_prediction_to_label(probs) == "G major"
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=96)
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="audiotabs_tpu/weights/key_cnn.npz")
+    args = ap.parse_args(argv)
+    train(args.clips, args.steps, args.batch, args.seed, args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

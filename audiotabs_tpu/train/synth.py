@@ -233,21 +233,25 @@ def synth_multitrack(
     other = np.zeros(n)
     vocals = np.zeros(n)
 
+    # fixed per-clip percussion samples, reused for every hit — real drums
+    # repeat the same physical sample; per-hit fresh noise would be
+    # irreducible under a waveform loss and unlearnable by design
+    kick_dur = int(0.05 * sr)
+    kseg = np.arange(kick_dur) / sr
+    kick = 0.8 * np.sin(2 * np.pi * (140 * np.exp(-kseg * 30) + 45) * kseg) * np.exp(-kseg * 60)
+    snare = 0.5 * _noise_burst(rng, kick_dur, 5.0)
+    hat_dur = int(0.02 * sr)
+    hat = 0.25 * _noise_burst(rng, hat_dur, 12.0)
+
     for i, b in enumerate(beats):
         a = int(b * sr)
-        # drums: kick on every beat, snare on 2/4, hats on halves
-        dur = int(0.05 * sr)
-        if a + dur < n:
-            seg = np.arange(dur) / sr
-            drums[a : a + dur] += 0.8 * np.sin(
-                2 * np.pi * (140 * np.exp(-seg * 30) + 45) * seg
-            ) * np.exp(-seg * 60)
+        if a + kick_dur < n:
+            drums[a : a + kick_dur] += kick
             if i % 2 == 1:
-                drums[a : a + dur] += 0.5 * _noise_burst(rng, dur, 5.0)
+                drums[a : a + kick_dur] += snare
         ha = int((b + period / 2) * sr)
-        hd = int(0.02 * sr)
-        if ha + hd < n:
-            drums[ha : ha + hd] += 0.25 * _noise_burst(rng, hd, 12.0)
+        if ha + hat_dur < n:
+            drums[ha : ha + hat_dur] += hat
 
         ch = prog[(i // 2) % 4]
         qual = quals[(i // 2) % 4]
@@ -297,3 +301,131 @@ def synth_multitrack(
     peak = np.abs(mix).max() + 1e-9
     g = 0.9 / peak
     return (mix * g).astype(np.float32), (stems * g).astype(np.float32)
+
+
+def synth_chord_clip(
+    rng: np.random.Generator,
+    duration_s: float = 12.0,
+    sr: int = 22050,
+) -> tuple[np.ndarray, list[tuple[float, float, int, str]]]:
+    """→ (mono audio, [(start_s, end_s, root_pc, quality), ...]) for chord
+    model training. Chords are strummed/sustained; a melody line and
+    optional percussion add NON-chord-tone energy the model must learn to
+    ignore (that is what a trained chroma net buys over raw salience)."""
+    n = int(duration_s * sr)
+    y = np.zeros(n, dtype=np.float64)
+    tempo = float(np.exp(rng.uniform(np.log(65.0), np.log(160.0))))
+    period = 60.0 / tempo
+    beats = np.arange(rng.uniform(0, period), duration_s, period)
+    root = int(rng.integers(40, 56))
+    scale = np.array([0, 2, 4, 5, 7, 9, 11])
+    beats_per_chord = int(rng.choice([2, 4]))
+    labels: list[tuple[float, float, int, str]] = []
+
+    i = 0
+    while i < len(beats):
+        ch = root + int(rng.choice(scale))
+        qual = rng.choice(["maj", "min"])
+        start = beats[i]
+        end = beats[min(i + beats_per_chord, len(beats) - 1)] if i + beats_per_chord < len(beats) else duration_s
+        labels.append((float(start), float(end), ch % 12, str(qual)))
+        # strum at each beat of the chord span
+        for j in range(i, min(i + beats_per_chord, len(beats))):
+            b = beats[j]
+            a = int(b * sr)
+            dur = min(int(period * sr * 1.5), n - a)
+            if dur <= 0:
+                continue
+            seg = np.arange(dur) / sr
+            for k, iv in enumerate(_CHORDS[qual]):
+                f = 440.0 * 2 ** ((ch + iv - 69) / 12)
+                aa = min(a + int(0.004 * k * sr), n - 1)
+                d2 = min(dur, n - aa)
+                y[aa : aa + d2] += 0.25 * _pluck(f, seg[:d2], rng, decay=1.5 / period)
+        i += beats_per_chord
+
+    # melody of scale tones (often NON-chord tones — distractors)
+    if rng.uniform() < 0.8:
+        t0 = float(beats[0])
+        while t0 < duration_s - 0.3:
+            p = root + 12 + int(rng.choice(scale))
+            a = int(t0 * sr)
+            d = min(int(period * 0.9 * sr), n - a)
+            if d > 0:
+                seg = np.arange(d) / sr
+                f = 440.0 * 2 ** ((p - 69) / 12)
+                y[a : a + d] += rng.uniform(0.1, 0.25) * _pluck(f, seg, rng, decay=2.5 / period)
+            t0 += period / rng.choice([1, 2])
+    # percussion distractor
+    if rng.uniform() < 0.5:
+        for b in beats:
+            a = int(b * sr)
+            d = int(0.04 * sr)
+            if a + d < n:
+                y[a : a + d] += 0.2 * _noise_burst(rng, d, 8.0)
+
+    y += rng.uniform(0.001, 0.008) * rng.standard_normal(n)
+    peak = np.abs(y).max() + 1e-9
+    return (0.9 * y / peak).astype(np.float32), labels
+
+
+_MAJOR_DEGREES = [(0, "maj"), (2, "min"), (4, "min"), (5, "maj"), (7, "maj"), (9, "min")]
+_MINOR_DEGREES = [(0, "min"), (3, "maj"), (5, "min"), (7, "min"), (8, "maj"), (10, "maj")]
+
+
+def synth_key_clip(
+    rng: np.random.Generator,
+    duration_s: float = 12.0,
+    sr: int = 22050,
+) -> tuple[np.ndarray, int, str]:
+    """→ (mono audio, tonic_pc, mode) for key-classification training.
+    Diatonic chord progressions anchored on the tonic, plus a scale melody."""
+    n = int(duration_s * sr)
+    y = np.zeros(n, dtype=np.float64)
+    mode = str(rng.choice(["major", "minor"]))
+    tonic = int(rng.integers(40, 52))
+    degrees = _MAJOR_DEGREES if mode == "major" else _MINOR_DEGREES
+    scale = (
+        np.array([0, 2, 4, 5, 7, 9, 11]) if mode == "major" else np.array([0, 2, 3, 5, 7, 8, 10])
+    )
+    tempo = float(np.exp(rng.uniform(np.log(65.0), np.log(150.0))))
+    period = 60.0 / tempo
+    beats = np.arange(rng.uniform(0, period), duration_s, period)
+    beats_per_chord = int(rng.choice([2, 4]))
+
+    # progression: start and end on the tonic, wander diatonically between
+    n_chords = max(2, len(beats) // beats_per_chord)
+    prog = [degrees[0]]
+    for _ in range(n_chords - 2):
+        prog.append(degrees[int(rng.integers(0, len(degrees)))])
+    prog.append(degrees[0])
+
+    for i, b in enumerate(beats):
+        deg, qual = prog[min(i // beats_per_chord, len(prog) - 1)]
+        ch = tonic + deg
+        a = int(b * sr)
+        dur = min(int(period * sr * 1.5), n - a)
+        if dur <= 0:
+            continue
+        seg = np.arange(dur) / sr
+        for k, iv in enumerate(_CHORDS[qual]):
+            f = 440.0 * 2 ** ((ch + iv - 69) / 12)
+            aa = min(a + int(0.004 * k * sr), n - 1)
+            d2 = min(dur, n - aa)
+            y[aa : aa + d2] += 0.25 * _pluck(f, seg[:d2], rng, decay=1.5 / period)
+
+    # scale melody reinforces the key
+    t0 = float(beats[0]) if len(beats) else 0.0
+    while t0 < duration_s - 0.3:
+        p = tonic + 12 + int(rng.choice(scale))
+        a = int(t0 * sr)
+        d = min(int(period * 0.9 * sr), n - a)
+        if d > 0:
+            seg = np.arange(d) / sr
+            f = 440.0 * 2 ** ((p - 69) / 12)
+            y[a : a + d] += rng.uniform(0.1, 0.22) * _pluck(f, seg, rng, decay=2.5 / period)
+        t0 += period / rng.choice([1, 2])
+
+    y += rng.uniform(0.001, 0.006) * rng.standard_normal(n)
+    peak = np.abs(y).max() + 1e-9
+    return (0.9 * y / peak).astype(np.float32), tonic % 12, mode
