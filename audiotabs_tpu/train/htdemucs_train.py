@@ -100,7 +100,12 @@ def train(
 
     def loss_fn(p, mb, sb):
         pred = jax.vmap(lambda m: hd.forward(p, m))(mb)  # [B, 4, 2, T]
-        return jnp.abs(pred - sb).mean()
+        # per-stem level-normalized L1: the drums stem is sparse transients
+        # whose raw L1 mass is tiny next to sustained stems — unnormalized,
+        # the optimizer simply ignores it
+        err = jnp.abs(pred - sb).mean(axis=(0, 2, 3))  # [4]
+        level = jnp.abs(sb).mean(axis=(0, 2, 3)) + 1e-4
+        return (err / level).mean()
 
     @jax.jit
     def update(p, o, mb, sb):
