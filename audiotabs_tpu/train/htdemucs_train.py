@@ -7,11 +7,13 @@ zero-egress environment, so a smaller variant of the SAME architecture
 the parameter pytree) is trained from scratch on synthesized 4-stem
 multitracks with exact ground truth (train/synth.synth_multitrack).
 
-Loss is per-stem L1 on waveforms (the demucs objective). The checkpoint is
-saved ONLY if its mean SI-SDR on held-out drums+other stems beats the
-HPSS baseline (percussive→drums, harmonic→other) — the pipeline's
-weight-free fallback is exactly that baseline, so shipping weights must be
-a measurable upgrade on the stems the pipeline consumes.
+Loss is per-stem level-normalized L1 on waveforms. Save gates are aligned
+with what the PIPELINE consumes from separation: the "other" stem feeds
+transcription (held-out SI-SDR must beat the HPSS-harmonic baseline) and
+the "drums" stem feeds beat tracking (beat F-measure of a DBN decode on
+the separated drums must match or beat the HPSS-percussive baseline) —
+the weight-free fallback is exactly that HPSS baseline, so shipping
+weights must be a measurable upgrade.
 
 Usage:
     python -m audiotabs_tpu.train.htdemucs_train \
@@ -47,17 +49,20 @@ def si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
     return float(10 * np.log10((np.dot(s, s) + 1e-12) / (np.dot(e, e) + 1e-12)))
 
 
-def build_clips(n: int, seed: int):
+def build_clips(n: int, seed: int, duration: float | None = None):
     from .synth import synth_multitrack
 
+    seg = SEG if duration is None else int(duration * SR)
     rng = np.random.default_rng(seed)
-    mixes = np.zeros((n, 2, SEG), np.float32)
-    stems = np.zeros((n, 4, 2, SEG), np.float32)
+    mixes = np.zeros((n, 2, seg), np.float32)
+    stems = np.zeros((n, 4, 2, seg), np.float32)
+    beats = []
     for i in range(n):
-        m, s = synth_multitrack(rng, SEG / SR + 0.05, SR)
-        mixes[i] = m[:, :SEG]
-        stems[i] = s[:, :, :SEG]
-    return mixes, stems
+        m, s, b = synth_multitrack(rng, seg / SR + 0.05, SR)
+        mixes[i] = m[:, :seg]
+        stems[i] = s[:, :, :seg]
+        beats.append(b[b < seg / SR])
+    return mixes, stems, beats
 
 
 def hpss_baseline(mix: np.ndarray) -> dict[str, np.ndarray]:
@@ -84,8 +89,8 @@ def train(
     t_layers: int = 3,
 ) -> dict:
     t0 = time.time()
-    mixes, stems = build_clips(n_clips, seed)
-    val_m, val_s = build_clips(8, seed + 31_000)
+    mixes, stems, _ = build_clips(n_clips, seed)
+    val_m, val_s, val_beats = build_clips(8, seed + 31_000)
     print(f"dataset: {mixes.shape} mixes ({time.time()-t0:.0f}s)", flush=True)
 
     params = hd.init_params(
@@ -122,11 +127,24 @@ def train(
         if step % 100 == 0 or step == steps - 1:
             print(f"step {step}: L1 {float(loss):.5f} ({time.time()-t0:.0f}s)", flush=True)
 
-    # ---- eval: SI-SDR per stem vs the HPSS fallback baseline ----
+    # ---- eval: gates aligned with what the PIPELINE consumes ----
+    # "other" feeds transcription → SI-SDR; "drums" feeds beat tracking →
+    # beat F-measure of a DBN decode on the separated stem (waveform SI-SDR
+    # punishes transient phase errors that beat tracking is blind to)
+    from ..analysis.metrics import beat_f_measure
+    from ..decode.dbn_beats import dbn_beat_track
+    from ..models.beat_rnn import onset_activation
+
     fwd = jax.jit(lambda m: hd.forward(params, m))
     names = ("drums", "bass", "other", "vocals")
     ours = {k: [] for k in names}
     base = {"drums": [], "other": []}
+    beat_ours, beat_base = [], []
+
+    def beats_from(drums_lr: np.ndarray) -> np.ndarray:
+        act = np.asarray(onset_activation(jnp.asarray(drums_lr.mean(axis=0)), SR, 100))
+        return np.asarray(dbn_beat_track(act.astype(np.float32), fps=100))
+
     for i in range(val_m.shape[0]):
         pred = np.asarray(fwd(jnp.asarray(val_m[i])))
         for k, name in enumerate(names):
@@ -134,14 +152,16 @@ def train(
         hb = hpss_baseline(val_m[i])
         base["drums"].append(si_sdr(hb["drums"], val_s[i, 0]))
         base["other"].append(si_sdr(hb["other"], val_s[i, 2]))
+        beat_ours.append(beat_f_measure(beats_from(pred[0]), val_beats[i]))
+        beat_base.append(beat_f_measure(beats_from(hb["drums"]), val_beats[i]))
     ours_m = {k: float(np.mean(v)) for k, v in ours.items()}
     base_m = {k: float(np.mean(v)) for k, v in base.items()}
+    bf_ours, bf_base = float(np.mean(beat_ours)), float(np.mean(beat_base))
     print(f"val SI-SDR (dB): model {ours_m}", flush=True)
     print(f"val SI-SDR (dB): HPSS baseline {base_m}", flush=True)
+    print(f"val beat F from separated drums: model {bf_ours:.3f} vs HPSS {bf_base:.3f}", flush=True)
 
-    model_key = 0.5 * (ours_m["drums"] + ours_m["other"])
-    base_key = 0.5 * (base_m["drums"] + base_m["other"])
-    if model_key > base_key:
+    if ours_m["other"] > base_m["other"] and bf_ours >= bf_base:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
         params_out = dict(params)
         params_out["meta_segment"] = np.asarray(SEG, dtype=np.int64)

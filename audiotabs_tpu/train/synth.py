@@ -215,9 +215,9 @@ def synth_multitrack(
     rng: np.random.Generator,
     duration_s: float = 3.0,
     sr: int = 44100,
-) -> tuple[np.ndarray, np.ndarray]:
-    """→ (mix [2, T], stems [4, 2, T]) in htdemucs stem order
-    (drums, bass, other, vocals) — exact ground truth for separation
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """→ (mix [2, T], stems [4, 2, T], beat_times [s]) in htdemucs stem
+    order (drums, bass, other, vocals) — exact ground truth for separation
     training; stems are mono sources with random stereo panning."""
     n = int(duration_s * sr)
     tempo = float(np.exp(rng.uniform(np.log(70.0), np.log(170.0))))
@@ -300,7 +300,7 @@ def synth_multitrack(
     mix = stems.sum(axis=0)
     peak = np.abs(mix).max() + 1e-9
     g = 0.9 / peak
-    return (mix * g).astype(np.float32), (stems * g).astype(np.float32)
+    return (mix * g).astype(np.float32), (stems * g).astype(np.float32), beats.astype(np.float32)
 
 
 def synth_chord_clip(

@@ -35,7 +35,7 @@ def test_synth_multitrack_mix_is_sum_of_stems():
     from audiotabs_tpu.train.synth import synth_multitrack
 
     rng = np.random.default_rng(0)
-    mix, stems = synth_multitrack(rng, 1.5, 44100)
+    mix, stems, _beats = synth_multitrack(rng, 1.5, 44100)
     assert mix.shape[0] == 2 and stems.shape[:2] == (4, 2)
     np.testing.assert_allclose(mix, stems.sum(axis=0), atol=1e-5)
     # every stem carries energy
