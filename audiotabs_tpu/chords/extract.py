@@ -91,7 +91,10 @@ def extract_chords_deep(
     from ..models.deepchroma import load_params as load_dc
 
     dc_params = load_dc()
-    if dc_params is None and precomputed_chroma is not None and precomputed_path is not None:
+    if precomputed_chroma is not None and precomputed_path is not None:
+        # the fused program already ran the full deep path (DNN chroma when
+        # weights exist — runtime/fused.py 4b' — else salience chroma) and
+        # the CRF decode; this branch is pure host post-processing
         chroma_np = np.asarray(precomputed_chroma)
         path_np = np.asarray(precomputed_path[0]).copy()
         conf_np = np.asarray(precomputed_path[1])

@@ -760,8 +760,19 @@ def save_params(path: str, params: dict) -> None:
     save_pytree_npz(path, params)
 
 
+def default_weights_path() -> str:
+    """Checked-in trained weights; HTDEMUCS_WEIGHTS overrides ('off'
+    disables separation and falls back to the HPSS split)."""
+    env = os.environ.get("HTDEMUCS_WEIGHTS")
+    if env is not None:
+        return "" if env.lower() in ("off", "none", "0") else env
+    from pathlib import Path
+
+    return str(Path(__file__).resolve().parent.parent / "weights" / "htdemucs.npz")
+
+
 def load_params(path: str | None = None) -> dict | None:
-    path = path or os.environ.get("HTDEMUCS_WEIGHTS", "")
+    path = path or default_weights_path()
     if not path or not os.path.exists(path):
         return None
     from .params_io import load_pytree_npz

@@ -57,7 +57,12 @@ def init_params(rng: jax.Array, n_bands: int = 120) -> dict:
         "c1_w": he(k[0], (5, 5, 1, 8)), "c1_b": jnp.zeros((8,)),
         "c2_w": he(k[1], (3, 3, 8, 16)), "c2_b": jnp.zeros((16,)),
         "c3_w": he(k[2], (3, 3, 16, 32)), "c3_b": jnp.zeros((32,)),
-        "out_w": he(k[3], (32, N_CLASSES)), "out_b": jnp.zeros((N_CLASSES,)),
+        # dense over the (band, channel) map: key identity lives in ABSOLUTE
+        # band position, so pooling may only collapse time (translation along
+        # the band axis is a transposition — averaging it away would make all
+        # keys of a mode indistinguishable)
+        "out_w": he(k[3], ((n_bands // 4) * 32, N_CLASSES)),
+        "out_b": jnp.zeros((N_CLASSES,)),
     }
 
 
@@ -76,8 +81,8 @@ def apply(params: dict, feats):
     x = jax.nn.elu(_conv2(x, params["c2_w"], params["c2_b"]))
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 2, 1), "VALID")
     x = jax.nn.elu(_conv2(x, params["c3_w"], params["c3_b"]))
-    pooled = x.mean(axis=(0, 1))  # global average over time and bands
-    return jax.nn.softmax(pooled @ params["out_w"] + params["out_b"])
+    pooled = x.mean(axis=0)  # average over TIME only: [bands//4, 32]
+    return jax.nn.softmax(pooled.reshape(-1) @ params["out_w"] + params["out_b"])
 
 
 def default_weights_path() -> str:

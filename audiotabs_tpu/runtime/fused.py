@@ -124,11 +124,24 @@ def fused_analysis(
     # no trained checkpoint is present).
     if chord_backend in ("deep", "both"):
         from ..models import crf_chords
+        from ..models import deepchroma as dcm
 
         crf_params = crf_chords.load_params() or crf_chords.template_emission_params()
-        feats_t = chroma_n.T
+        # trained DeepChroma DNN (resolved at trace time): chord-tone chroma
+        # that actively suppresses melody/percussion, replacing the salience
+        # folding for the CRF path (reference extract.py:45-67 uses
+        # DeepChromaProcessor for exactly this stage)
+        dc_params = dcm.load_params()
+        if dc_params is not None:
+            dc_feats = dcm.features(y_harm, sr)[:t_ch]
+            dc_chroma = dcm.apply(dc_params, dc_feats)  # [t_ch, 12]
+            out["dc_chroma"] = dc_chroma.T
+            norm = jnp.linalg.norm(dc_chroma, axis=1, keepdims=True)
+            feats_t = dc_chroma / jnp.maximum(norm, 1e-9)
+        else:
+            feats_t = chroma_n.T
         if true_len is not None:
-            valid = jnp.arange(t_ch) * hop < true_len
+            valid = jnp.arange(feats_t.shape[0]) * hop < true_len
             # uniform emission past the song end: the backtrack then simply
             # extends the last real chord (transition prior), instead of
             # being pulled toward the wrap-padded opening chord

@@ -419,7 +419,9 @@ def _pipeline_tail(
                 pre_path = None
                 if feats is not None:
                     t_ch = int(true_len / sr * CHROMA_FPS) + 1
-                    pre = np.asarray(feats["chroma"])[:, :t_ch]
+                    # dc_chroma is present when the trained DeepChroma DNN ran
+                    # inside the fused program — it is what the CRF decoded
+                    pre = np.asarray(feats.get("dc_chroma", feats["chroma"]))[:, :t_ch]
                     if "crf_path" in feats:
                         pre_path = (
                             np.asarray(feats["crf_path"])[:t_ch],

@@ -6,13 +6,18 @@ exists here, so the same topology trains on synthesized clips with
 diatonic chord progressions anchored on a known tonic/mode
 (train/synth.synth_key_clip).
 
+Each base clip is multiplied 12x by transposition augmentation: the
+feature filterbank is quarter-tone spaced (deepchroma.BINS_PER_OCTAVE=24),
+so shifting the band axis by 2k bins transposes by k semitones and maps
+the label tonic to (pc+k) mod 12 with the mode unchanged.
+
 Save gates: (1) held-out key accuracy beats the Krumhansl-profile
 estimator the pipeline defaults to, and (2) the golden WAV still resolves
 to G major.
 
 Usage:
     python -m audiotabs_tpu.train.key_cnn_train \
-        [--clips 96] [--steps 1500] [--out audiotabs_tpu/weights/key_cnn.npz]
+        [--clips 128] [--steps 4000] [--out audiotabs_tpu/weights/key_cnn.npz]
 """
 
 from __future__ import annotations
@@ -35,19 +40,49 @@ CLIP_S = 12.0
 
 
 def build_clips(n: int, seed: int):
+    from ..ops.hpss import hpss
     from .synth import synth_key_clip
 
     rng = np.random.default_rng(seed)
     feats, labels, audio = [], [], []
     for _ in range(n):
         y, pc, mode = synth_key_clip(rng, CLIP_S, SR)
-        f = np.asarray(kc.features(jnp.asarray(y), SR))
+        # the pipeline feeds the key CNN the HPSS-harmonic component
+        # (runtime/fused.py stage 5b) — train in the same domain
+        yh = np.asarray(hpss(jnp.asarray(y))[0])
+        f = np.asarray(kc.features(jnp.asarray(yh), SR))
         feats.append(f)
         labels.append(pc + (0 if mode == "major" else 12))
-        audio.append(y)
+        audio.append(yh)
     T = min(f.shape[0] for f in feats)
     X = np.stack([f[:T] for f in feats])
     return X, np.asarray(labels, np.int32), audio
+
+
+def transpose_feats(f: np.ndarray, k: int) -> np.ndarray:
+    """Shift [T, B, 1] quarter-tone-banded features by k semitones (2k bins),
+    zero-filling the vacated edge (no wraparound across the register)."""
+    if k == 0:
+        return f
+    b = 2 * abs(k)
+    out = np.zeros_like(f)
+    if k > 0:
+        out[:, b:, :] = f[:, :-b, :]
+    else:
+        out[:, :-b, :] = f[:, b:, :]
+    return out
+
+
+def augment_batch(X: np.ndarray, Y: np.ndarray, rng: np.random.Generator):
+    """Random per-sample transposition in [-5, +6] semitones."""
+    ks = rng.integers(-5, 7, size=X.shape[0])
+    Xa = np.stack([transpose_feats(x, int(k)) for x, k in zip(X, ks)])
+    # level + noise jitter: the held-out domain (real recordings) varies in
+    # gain and noise floor in ways the clean synthetic clips do not
+    gains = rng.uniform(0.6, 1.4, size=(X.shape[0], 1, 1, 1)).astype(np.float32)
+    Xa = Xa * gains + rng.normal(0.0, 0.05, size=Xa.shape).astype(np.float32)
+    Ya = ((Y % 12) + ks) % 12 + (Y // 12) * 12
+    return Xa.astype(np.float32), Ya.astype(np.int32)
 
 
 def _krumhansl_label(y: np.ndarray) -> int | None:
@@ -62,9 +97,9 @@ def _krumhansl_label(y: np.ndarray) -> int | None:
 
 
 def train(
-    n_clips: int = 96,
-    steps: int = 1500,
-    batch: int = 16,
+    n_clips: int = 128,
+    steps: int = 4000,
+    batch: int = 32,
     seed: int = 0,
     out_path: str = "audiotabs_tpu/weights/key_cnn.npz",
 ) -> dict:
@@ -81,7 +116,12 @@ def train(
     def loss_fn(p, xb, yb):
         probs = jax.vmap(lambda f: kc.apply(p, f))(xb)  # [B, 24]
         probs = jnp.clip(probs, 1e-6, 1.0)
-        return -jnp.log(probs[jnp.arange(xb.shape[0]), yb]).mean()
+        # label smoothing 0.1: the golden gate needs calibrated probabilities
+        # on out-of-domain audio, not a memorized one-hot
+        smooth = 0.1
+        logp = jnp.log(probs)
+        nll = -logp[jnp.arange(xb.shape[0]), yb]
+        return ((1 - smooth) * nll - smooth * logp.mean(axis=1)).mean()
 
     @jax.jit
     def update(p, o, xb, yb):
@@ -92,7 +132,8 @@ def train(
     rng = np.random.default_rng(seed)
     for step in range(steps):
         sel = rng.choice(n_clips, size=batch, replace=False)
-        params, opt_state, loss = update(params, opt_state, jnp.asarray(X[sel]), jnp.asarray(Y[sel]))
+        xb, yb = augment_batch(X[sel], Y[sel], rng)
+        params, opt_state, loss = update(params, opt_state, jnp.asarray(xb), jnp.asarray(yb))
         if step % 200 == 0 or step == steps - 1:
             print(f"step {step}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
 
@@ -125,14 +166,21 @@ def _golden_key_ok(params) -> bool:
     yg = resample_poly_host(peak_normalize(yg), srg, SR)
     yh = np.asarray(hpss(jnp.asarray(yg))[0])
     probs = np.asarray(kc.apply(params, kc.features(jnp.asarray(yh), SR)))
-    return kc.key_prediction_to_label(probs) == "G major"
+    label = kc.key_prediction_to_label(probs)
+    top3 = np.argsort(probs)[::-1][:3]
+    print(
+        "golden prediction:",
+        ", ".join(f"{kc.key_prediction_to_label(np.eye(24)[i])} {probs[i]:.3f}" for i in top3),
+        flush=True,
+    )
+    return label == "G major"
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--clips", type=int, default=96)
-    ap.add_argument("--steps", type=int, default=1500)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--clips", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="audiotabs_tpu/weights/key_cnn.npz")
     args = ap.parse_args(argv)

@@ -400,6 +400,10 @@ def synth_key_clip(
         prog.append(degrees[int(rng.integers(0, len(degrees)))])
     prog.append(degrees[0])
 
+    # bass emphasis like real fingerpicked/strummed guitar: alternating
+    # root/fifth bass an octave down — without this cue the key CNN learns
+    # to read a prominent dominant in the bass register as the tonic
+    bass_amp = rng.uniform(0.2, 0.45)
     for i, b in enumerate(beats):
         deg, qual = prog[min(i // beats_per_chord, len(prog) - 1)]
         ch = tonic + deg
@@ -413,6 +417,11 @@ def synth_key_clip(
             aa = min(a + int(0.004 * k * sr), n - 1)
             d2 = min(dur, n - aa)
             y[aa : aa + d2] += 0.25 * _pluck(f, seg[:d2], rng, decay=1.5 / period)
+        bass_p = ch - 12 + (7 if i % 2 == 1 and rng.random() < 0.7 else 0)
+        fb = 440.0 * 2 ** ((bass_p - 69) / 12)
+        db = min(int(period * sr * 0.95), n - a)
+        if db > 0:
+            y[a : a + db] += bass_amp * _pluck(fb, seg[:db], rng, decay=1.2 / period)
 
     # scale melody reinforces the key
     t0 = float(beats[0]) if len(beats) else 0.0

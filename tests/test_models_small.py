@@ -64,7 +64,23 @@ def test_key_cnn_shapes():
     assert mode in ("major", "minor")
 
 
-def test_key_cnn_returns_none_without_weights():
+def test_key_cnn_returns_none_without_weights(monkeypatch):
+    monkeypatch.setenv("KEY_CNN_WEIGHTS", "off")
     from audiotabs_tpu.models.key_cnn import estimate_key_cnn
 
     assert estimate_key_cnn(np.zeros(22050, np.float32), 22050) is None
+
+
+def test_key_cnn_trained_weights_load_and_predict():
+    """The checked-in checkpoint (train/key_cnn_train.py gates: beats
+    Krumhansl on held-out synthetic keys, golden WAV → G major) loads as
+    numpy and produces a valid 24-class distribution."""
+    from audiotabs_tpu.models.key_cnn import apply, features, load_params
+
+    params = load_params()
+    assert params is not None, "weights/key_cnn.npz missing"
+    assert all(isinstance(v, np.ndarray) for v in params.values())
+    y = jnp.asarray(np.random.default_rng(3).standard_normal(22050 * 2).astype(np.float32) * 0.1)
+    probs = np.asarray(apply(params, features(y, 22050)))
+    assert probs.shape == (24,)
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-4)
