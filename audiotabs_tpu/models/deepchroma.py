@@ -27,6 +27,7 @@ FPS = 10
 CONTEXT = 7  # frames each side
 FMIN, FMAX = 65.0, 2100.0
 BINS_PER_OCTAVE = 24  # quarter-tone filterbank
+N_BANDS = 120  # floor(log2(FMAX/FMIN) * BINS_PER_OCTAVE)
 HIDDEN = 512
 N_LAYERS = 3
 

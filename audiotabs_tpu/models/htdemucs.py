@@ -564,6 +564,178 @@ def _batched_forward(n_sources: int, ch: int):
     return fn
 
 
+# ---- single-dispatch separation program (relay-friendly) -------------------
+#
+# apply_model below issues one device call per shift and moves every window's
+# input AND all four stereo stem outputs across the host link — ~300 MB per
+# 30 s song over the axon relay, which made separation the pipeline's
+# bottleneck (5+ s/song). _separate_program fuses resample → window →
+# batched forward → triangular overlap-add → mono → resample back into ONE
+# jitted program whose stem outputs stay on device: the pipeline hands the
+# drums stem straight to fused_analysis without a host round-trip.
+
+
+def _halfband_fir(taps: int = 129, beta: float = 8.0) -> np.ndarray:
+    """Windowed-sinc half-band lowpass (cutoff = Nyquist/2) for exact 2x
+    up/down resampling on device (22050 ↔ 44100)."""
+    n = np.arange(taps) - taps // 2
+    h = np.sinc(n / 2.0) / 2.0
+    h *= np.kaiser(taps, beta)
+    return (h / h.sum()).astype(np.float32)
+
+
+_HALFBAND = _halfband_fir()
+
+
+def _fir_1d(x, h, *, lhs_dilation: int = 1, stride: int = 1):
+    """Length-preserving FIR along the last axis of [..., L] (SAME padding),
+    with optional zero-stuffing upsample (lhs_dilation) or strided output."""
+    shape = x.shape
+    xb = x.reshape(-1, 1, shape[-1])
+    K = h.shape[0]  # odd
+    # explicit padding (lhs_dilation forbids "SAME"): chosen so the output
+    # length is exactly L*lhs_dilation (stride 1) or L/stride (dilation 1)
+    pad = (K // 2, K // 2 + lhs_dilation - 1)
+    out = jax.lax.conv_general_dilated(
+        xb,
+        h[None, None, :],
+        window_strides=(stride,),
+        padding=(pad,),
+        lhs_dilation=(lhs_dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out.reshape(*shape[:-1], out.shape[-1])
+
+
+def _resample2_mats(taps: int = 129) -> tuple[np.ndarray, np.ndarray]:
+    """Banded polyphase matrices for exact-2x resampling as MATMULS.
+
+    The naive 1-channel FIR conv (_fir_1d) lowers to a VPU sliding window on
+    TPU and cost ~0.55 s per song — more than the whole htdemucs forward.
+    Reformulated as frame(hop) @ banded-matrix, the same filter runs on the
+    MXU in ~1 ms. Wd: [384, 128] maps a 384-sample frame (hop 256) of the
+    44.1k signal (padded 64 left) to 128 output samples at 22.05k.
+    Wu: [192, 256] maps a 192-sample frame (hop 128) of the 22.05k signal
+    (padded 32 left) to 256 output samples at 44.1k."""
+    h = _HALFBAND if taps == _HALFBAND.shape[0] else _halfband_fir(taps)
+    Wd = np.zeros((384, 128), np.float32)
+    for n in range(128):
+        Wd[2 * n : 2 * n + taps, n] = h
+    Wu = np.zeros((192, 256), np.float32)
+    for j in range(192):
+        for n in range(max(0, 2 * j - taps + 1), min(256, 2 * j + 1)):
+            Wu[j, n] = 2.0 * h[2 * j - n]
+    return Wd, Wu
+
+
+_W_DOWN, _W_UP = _resample2_mats()
+
+
+def _down2(x):
+    """[..., 2L] → [..., L] half-band decimation via frame @ banded matrix
+    (bit-matches _fir_1d(x, _HALFBAND, stride=2))."""
+    from ..ops.spectral import frame as frame_signal
+
+    L2 = x.shape[-1]
+    L = L2 // 2
+    M = -(-L // 128)
+    need = (M - 1) * 256 + 384
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(64, max(0, need - L2 - 64))])
+    frames = frame_signal(xp, 384, 256, center=False)[..., :M, :]
+    out = frames @ jnp.asarray(_W_DOWN)
+    return out.reshape(*x.shape[:-1], M * 128)[..., :L]
+
+
+def _up2(x):
+    """[..., L] → [..., 2L] zero-stuff + half-band interpolation via
+    frame @ banded matrix (bit-matches _fir_1d(x, 2h, lhs_dilation=2))."""
+    from ..ops.spectral import frame as frame_signal
+
+    L = x.shape[-1]
+    M = -(-(2 * L) // 256)
+    need = (M - 1) * 128 + 192
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(32, max(0, need - L - 32))])
+    frames = frame_signal(xp, 192, 128, center=False)[..., :M, :]
+    out = frames @ jnp.asarray(_W_UP)
+    return out.reshape(*x.shape[:-1], M * 256)[..., : 2 * L]
+
+
+@partial(jax.jit, static_argnames=("sr", "seg", "stride", "shifts", "n_sources"))
+def _separate_program(params, y, sr: int, seg: int, stride: int, shifts: int, n_sources: int):
+    """y [L] mono at sr (MODEL_SR or MODEL_SR//2) → stems [n_sources, L]."""
+    if sr == MODEL_SR:
+        y44 = y
+    else:  # exact 2x upsample: zero-stuff + half-band FIR (as a matmul)
+        y44 = _up2(y)
+    L44 = y44.shape[0]
+    mix = jnp.stack([y44, y44])  # pseudo-stereo [2, L44]
+
+    # deterministic shift offsets (demucs averages randomly-shifted passes;
+    # determinism beats randomness for a serving pipeline)
+    max_shift = int(0.5 * MODEL_SR)
+    shift_offs = [0] + [((i * max_shift) // shifts) for i in range(1, max(1, shifts))]
+
+    windows, metas = [], []
+    for soff in shift_offs:
+        shifted = jnp.pad(mix, ((0, 0), (soff, seg)))
+        for o in _segment_windows(L44 + soff, seg, stride):
+            windows.append(jax.lax.dynamic_slice_in_dim(shifted, o, seg, axis=1))
+            metas.append(o - soff)
+    batch = jnp.stack(windows)  # [B, 2, seg]
+    stems = jax.vmap(lambda m: forward(params, m, n_sources=n_sources))(batch)
+
+    tri = jnp.concatenate(
+        [jnp.linspace(0.1, 1.0, seg // 2), jnp.linspace(1.0, 0.1, seg - seg // 2)]
+    )
+    lead = max(0, -min(metas))
+    acc = jnp.zeros((n_sources, 2, lead + L44 + seg))
+    wacc = jnp.zeros((lead + L44 + seg,))
+    for i, pos in enumerate(metas):  # static offsets → plain scatter-adds
+        acc = acc.at[:, :, lead + pos : lead + pos + seg].add(stems[i] * tri)
+        wacc = wacc.at[lead + pos : lead + pos + seg].add(tri)
+    out44 = acc[:, :, lead : lead + L44] / jnp.maximum(wacc[lead : lead + L44], 1e-8)
+    mono = out44.mean(axis=1)  # [S, L44]
+    if sr == MODEL_SR:
+        return mono
+    return _down2(mono)
+
+
+_PARAMS_DEV: tuple | None = None
+
+
+def separate_stems_device(
+    y: np.ndarray, sr: int, model_name: str = "htdemucs_6s", shifts: int = 2
+) -> dict | None:
+    """Mono y [L] → {stem_name: DEVICE array [L]} via ONE jitted dispatch,
+    or None when no weights are loaded. Outputs stay on device so downstream
+    device consumers (fused_analysis beat tracking on drums) skip the host
+    round-trip; np.asarray() any stem that needs to reach the host."""
+    global _PARAMS_DEV
+    params = load_params()
+    if params is None:
+        return None
+    if y.ndim != 1 or sr not in (MODEL_SR, MODEL_SR // 2):
+        host = separate_stems(np.asarray(y), sr, model_name=model_name)
+        return None if host is None else {k: jnp.asarray(v) for k, v in host.items()}
+    seg = int(np.asarray(params["meta_segment"])) if "meta_segment" in params else int(
+        SEGMENT_SEC * MODEL_SR
+    )
+    seg = ((seg + ALIGN - 1) // ALIGN) * ALIGN
+    stride = max(ALIGN, int((1 - OVERLAP) * seg) // ALIGN * ALIGN)
+    run_params = {k: v for k, v in params.items() if k != "meta_segment"}
+    if _PARAMS_DEV is None or _PARAMS_DEV[0] is not params:
+        # upload the checkpoint once; later dispatches reuse device memory
+        _PARAMS_DEV = (params, jax.device_put(run_params))
+    n_sources = run_params["tdecoder"][-1]["convtr_w"].shape[1] // 2
+    y_dev = y if isinstance(y, jax.Array) else jnp.asarray(np.asarray(y, np.float32))
+    out = _separate_program(
+        _PARAMS_DEV[1], y_dev, sr=sr, seg=seg,
+        stride=stride, shifts=shifts, n_sources=n_sources,
+    )
+    stems = MODEL_STEMS.get(model_name, MODEL_STEMS["htdemucs"])
+    return {name: out[i] for i, name in enumerate(stems[: out.shape[0]])}
+
+
 def apply_model(
     params: dict,
     mix: np.ndarray,

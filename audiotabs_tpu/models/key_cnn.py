@@ -73,15 +73,24 @@ def _conv2(x, w, b):
 
 
 @jax.jit
-def apply(params: dict, feats):
-    """[T, B, 1] → [24] global key probabilities."""
+def apply(params: dict, feats, frame_mask=None):
+    """[T, B, 1] → [24] global key probabilities.
+
+    ``frame_mask`` [T] (bool, optional) restricts the global time average to
+    valid frames — the fused program passes the true-length mask so the
+    wrap-padded tail of a bucket cannot tip the key (it did: the golden WAV
+    read A minor over G major by 0.003 until the pad was masked out)."""
     x = feats
     x = jax.nn.elu(_conv2(x, params["c1_w"], params["c1_b"]))
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 2, 1), "VALID")
     x = jax.nn.elu(_conv2(x, params["c2_w"], params["c2_b"]))
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 2, 1), "VALID")
     x = jax.nn.elu(_conv2(x, params["c3_w"], params["c3_b"]))
-    pooled = x.mean(axis=0)  # average over TIME only: [bands//4, 32]
+    if frame_mask is None:
+        pooled = x.mean(axis=0)  # average over TIME only: [bands//4, 32]
+    else:
+        m = frame_mask.astype(x.dtype)[:, None, None]
+        pooled = (x * m).sum(axis=0) / jnp.maximum(m.sum(), 1.0)
     return jax.nn.softmax(pooled.reshape(-1) @ params["out_w"] + params["out_b"])
 
 

@@ -32,6 +32,8 @@ def fused_analysis(
     separate: bool = False,
     chord_backend: str = "both",
     true_len=None,
+    y_beat=None,
+    y_mix=None,
 ):
     """y [T] float32 → dict of every device-computed feature the pipeline needs.
 
@@ -69,9 +71,34 @@ def fused_analysis(
     y_harm, y_perc = hpss_op(y, use_pallas=use_pallas)
     out["y_harm"] = y_harm
 
-    # 2. beat activation at 100 fps (percussive component when separating,
-    # mirroring drums-driven beat tracking; else the full mix)
-    out["beat_activation"] = beat_activation(y_perc if separate else y, sr, 100)
+    # 2. beat activation at 100 fps. The beat source, in priority order:
+    # an explicit y_beat (the separated drums stem, passed as a DEVICE array
+    # straight from the separation program — no host round-trip), else the
+    # percussive component when separate=True (HPSS fallback), else the mix.
+    # Energy gate on the drums stem: a drum-free recording (the golden WAV
+    # is solo fingerpicked guitar) separates to a near-silent drums stem
+    # whose activation is noise — beat F collapsed 0.69 → 0.11 before this
+    # gate. Below 15% of the reference RMS the tracker falls back to the
+    # MIX (y_mix — the separation program's input, already device-resident),
+    # not the transcription stem: separation subtly reshapes transients and
+    # golden beat F on the lone stem was 0.375 vs 0.69 on the mix.
+    if y_beat is not None:
+        if y_mix is not None:
+            # the HPSS-percussive of the MIX: the exact signal the weight-
+            # free fallback path tracks (golden beat F 0.69; the raw mix
+            # gave 0.56 and the separated stem 0.375)
+            fallback = hpss_op(y_mix, use_pallas=use_pallas)[1]
+        else:
+            fallback = y_perc
+        r_beat = jnp.sqrt(jnp.mean(jnp.square(y_beat)))
+        r_ref = jnp.sqrt(jnp.mean(jnp.square(y_mix if y_mix is not None else y)))
+        use_drums = r_beat > 0.15 * r_ref
+        out["beat_from_drums"] = use_drums
+        out["beat_activation"] = beat_activation(
+            jnp.where(use_drums, y_beat, fallback), sr, 100
+        )
+    else:
+        out["beat_activation"] = beat_activation(y_perc if separate else y, sr, 100)
 
     # 3. AMT posteriors on the harmonic component: the trained Basic Pitch
     # CNN when its checkpoint exists (resolved at trace time), else the
@@ -186,7 +213,12 @@ def fused_analysis(
 
     kc_params = key_cnn.load_params()
     if kc_params is not None:
-        out["key_probs"] = key_cnn.apply(kc_params, key_cnn.features(y_harm, sr))
+        key_feats = key_cnn.features(y_harm, sr)
+        key_mask = None
+        if true_len is not None:
+            # exclude the wrap-padded tail from the global time average
+            key_mask = jnp.arange(key_feats.shape[0]) * (sr // 5) < true_len
+        out["key_probs"] = key_cnn.apply(kc_params, key_feats, key_mask)
 
     # 6. calibration characteristics (audio_quality.py metrics)
     r = rms(y, 2048, 512)

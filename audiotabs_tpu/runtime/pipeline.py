@@ -98,20 +98,31 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
     beat_source = y_pad
     stem_source = "mix"
     hpss_fallback = False
+    y_beat_dev = None
+    y_mix_dev = None
     if s.ENABLE_DEMUCS:
         try:
             with timer("separation"):
-                from ..models.htdemucs import separate_stems
+                from ..models.htdemucs import separate_stems_device
 
-                stems = separate_stems(y_pad, sr, model_name=s.DEMUCS_MODEL)
+                # ONE jitted dispatch; stems stay on device — the chosen
+                # stem feeds fused_analysis and the drums stem feeds its
+                # beat tracker without ever visiting the host. The padded
+                # mix is uploaded once and shared with fused_analysis (it
+                # is the beat-tracking fallback for drum-free songs).
+                y_mix_dev = jnp.asarray(y_pad)
+                stems = separate_stems_device(
+                    y_mix_dev, sr, model_name=s.DEMUCS_MODEL, shifts=s.DEMUCS_SHIFTS
+                )
                 if stems is not None:
                     for name in s.stem_priority():
                         if name in stems:
-                            stem = np.asarray(stems[name])
+                            stem = stems[name]
                             stem_source = name
                             break
                     if "drums" in stems:
-                        beat_source = np.asarray(stems["drums"])
+                        y_beat_dev = stems["drums"]
+                        beat_source = y_beat_dev
                 else:
                     # weight-free fallback: the fused program's HPSS split
                     # stands in for Demucs — harmonic → transcription stem,
@@ -151,6 +162,8 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
                         separate=hpss_fallback,
                         chord_backend=backend if backend in ("deep", "template") else "both",
                         true_len=true_len,
+                        y_beat=y_beat_dev,
+                        y_mix=y_mix_dev if y_beat_dev is not None else None,
                     )
                 )
         except Exception as exc:
@@ -186,7 +199,9 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
         timer=timer,
         errors=errors,
         stem_source=stem_source,
-        beat_act_from_feats=(feats is not None and beat_source is stem),
+        beat_act_from_feats=(
+            feats is not None and (beat_source is stem or y_beat_dev is not None)
+        ),
         beat_source=beat_source,
     )
 

@@ -69,6 +69,31 @@ def build_dataset(n_clips: int, seed: int):
     return X, Y, clips, T
 
 
+def augment_batch(X: np.ndarray, Y: np.ndarray, rng: np.random.Generator):
+    """Random per-sample transposition (quarter-tone band roll with zero
+    fill) + gain/noise jitter. Features are context-stacked [B, (2C+1)*B120]
+    (deepchroma.features); the chroma target rolls circularly by k."""
+    B = X.shape[0]
+    nb = dc.N_BANDS
+    ctx = X.shape[1] // nb
+    ks = rng.integers(-5, 7, size=B)
+    Xs = X.reshape(B, ctx, nb)
+    Xa = np.zeros_like(Xs)
+    for i, k in enumerate(ks):
+        b = 2 * abs(int(k))
+        if k > 0:
+            Xa[i, :, b:] = Xs[i, :, : nb - b]
+        elif k < 0:
+            Xa[i, :, : nb - b] = Xs[i, :, b:]
+        else:
+            Xa[i] = Xs[i]
+    Xa = Xa.reshape(B, -1)
+    gains = rng.uniform(0.6, 1.4, size=(B, 1)).astype(np.float32)
+    Xa = Xa * gains + rng.normal(0.0, 0.05, size=Xa.shape).astype(np.float32)
+    Ya = np.stack([np.roll(Y[i], int(k)) for i, k in enumerate(ks)])
+    return Xa.astype(np.float32), Ya.astype(np.float32)
+
+
 def _chord_accuracy(chroma_12xT: np.ndarray, labels, n_frames: int) -> float:
     """CRF-decode the chroma and score frame-wise majmin accuracy."""
     from ..models import crf_chords
@@ -120,17 +145,21 @@ def train(
     opt = optax.adamw(sched, weight_decay=1e-4)
     opt_state = opt.init(params)
 
-    def loss_fn(p, xb, yb):
+    def loss_fn(p, xb, yb, key):
         x = (xb - p["feat_mean"]) / p["feat_std"]
-        for layer in p["layers"]:
+        for i, layer in enumerate(p["layers"]):
             x = jax.nn.relu(x @ layer["w"] + layer["b"])
+            # dropout 0.3: without it the 512-wide MLP memorizes the clean
+            # synthetic timbre in a few hundred steps and transfers nothing
+            keep = jax.random.bernoulli(jax.random.fold_in(key, i), 0.7, x.shape)
+            x = x * keep / 0.7
         pred = jax.nn.sigmoid(x @ p["out_w"] + p["out_b"])
         pred = jnp.clip(pred, 1e-6, 1 - 1e-6)
         return -(2.0 * yb * jnp.log(pred) + (1 - yb) * jnp.log(1 - pred)).mean()
 
     @jax.jit
-    def update(p, o, xb, yb):
-        loss, grads = jax.value_and_grad(loss_fn)(p, xb, yb)
+    def update(p, o, xb, yb, key):
+        loss, grads = jax.value_and_grad(loss_fn)(p, xb, yb, key)
         grads["feat_mean"] = jnp.zeros_like(grads["feat_mean"])
         grads["feat_std"] = jnp.zeros_like(grads["feat_std"])
         updates, o = opt.update(grads, o, p)  # adamw needs params
@@ -139,7 +168,10 @@ def train(
     rng = np.random.default_rng(seed)
     for step in range(steps):
         sel = rng.integers(0, X.shape[0], size=batch)
-        params, opt_state, loss = update(params, opt_state, jnp.asarray(X[sel]), jnp.asarray(Y[sel]))
+        xb, yb = augment_batch(X[sel], Y[sel], rng)
+        params, opt_state, loss = update(
+            params, opt_state, jnp.asarray(xb), jnp.asarray(yb), jax.random.PRNGKey(step)
+        )
         if step % 500 == 0 or step == steps - 1:
             print(f"step {step}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
 

@@ -329,7 +329,9 @@ def synth_chord_clip(
         start = beats[i]
         end = beats[min(i + beats_per_chord, len(beats) - 1)] if i + beats_per_chord < len(beats) else duration_s
         labels.append((float(start), float(end), ch % 12, str(qual)))
-        # strum at each beat of the chord span
+        # strum at each beat of the chord span, with an alternating
+        # root/fifth bass an octave down (real accompaniment is bass-heavy;
+        # chord-tone targets still cover it — root and fifth ARE chord tones)
         for j in range(i, min(i + beats_per_chord, len(beats))):
             b = beats[j]
             a = int(b * sr)
@@ -342,6 +344,11 @@ def synth_chord_clip(
                 aa = min(a + int(0.004 * k * sr), n - 1)
                 d2 = min(dur, n - aa)
                 y[aa : aa + d2] += 0.25 * _pluck(f, seg[:d2], rng, decay=1.5 / period)
+            bass_p = ch - 12 + (7 if j % 2 == 1 and rng.random() < 0.7 else 0)
+            fb = 440.0 * 2 ** ((bass_p - 69) / 12)
+            db = min(int(period * sr * 0.95), n - a)
+            if db > 0:
+                y[a : a + db] += rng.uniform(0.2, 0.4) * _pluck(fb, seg[:db], rng, decay=1.2 / period)
         i += beats_per_chord
 
     # melody of scale tones (often NON-chord tones — distractors)

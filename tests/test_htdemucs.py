@@ -36,6 +36,10 @@ def test_apply_model_overlap_add(tiny_params):
     assert np.isfinite(out).all()
 
 
-def test_separate_stems_none_without_weights():
+def test_separate_stems_none_without_weights(monkeypatch):
+    monkeypatch.setenv("HTDEMUCS_WEIGHTS", "off")
+    import audiotabs_tpu.models.htdemucs as hd
+
+    monkeypatch.setattr(hd, "_PARAMS", None)  # bypass the process-wide cache
     y = np.zeros(44100, np.float32)
     assert separate_stems(y, 44100) is None

@@ -29,6 +29,12 @@ def melody_wav(tmp_path_factory):
 def test_pipeline_end_to_end(melody_wav, tmp_path, monkeypatch):
     monkeypatch.setenv("TRANSCRIPTION_MODE", "notes")
     monkeypatch.setenv("PAD_SECONDS_BUCKET", "5")
+    # pin the weight-free separation fallback: this test asserts the HPSS
+    # stem wiring specifically (the trained-htdemucs path has its own test)
+    monkeypatch.setenv("HTDEMUCS_WEIGHTS", "off")
+    import audiotabs_tpu.models.htdemucs as hd
+
+    monkeypatch.setattr(hd, "_PARAMS", None)
     from audiotabs_tpu.config import reload_settings
 
     reload_settings()
@@ -107,3 +113,30 @@ def test_pipeline_rejects_tiny_input(tmp_path):
         (job_dir / sub).mkdir(parents=True)
     with pytest.raises(ValueError):
         run_pipeline(job_dir, p)
+
+
+from pathlib import Path
+
+_HTD_WEIGHTS = Path(__file__).resolve().parent.parent / "audiotabs_tpu/weights/htdemucs.npz"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not _HTD_WEIGHTS.exists(), reason="no trained htdemucs checkpoint")
+def test_pipeline_separates_with_trained_htdemucs(melody_wav, tmp_path, monkeypatch):
+    """With the checked-in reduced-HTDemucs checkpoint, separation must run
+    for real: the transcription stem comes from the model (stem priority,
+    reference demucs_sep.py:107-141) and beats are tracked on the separated
+    drums — no HPSS fallback involved."""
+    monkeypatch.setenv("PAD_SECONDS_BUCKET", "5")
+    from audiotabs_tpu.config import reload_settings
+
+    reload_settings()
+    from audiotabs_tpu.runtime.pipeline import run_pipeline
+
+    job_dir = tmp_path / "jobs" / "sepjob"
+    for sub in ("input", "work", "out"):
+        (job_dir / sub).mkdir(parents=True)
+    result = run_pipeline(job_dir, melody_wav)
+    assert isinstance(result, JobResult)
+    bt = json.loads((job_dir / "out" / "beat_times.json").read_text())
+    assert bt["stem_source"] not in ("mix", "hpss_harmonic")
