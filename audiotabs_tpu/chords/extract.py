@@ -115,6 +115,14 @@ def extract_chords_deep(
         feats = jnp.transpose(chroma, (1, 0))  # [T, 12]
         norm = jnp.linalg.norm(feats, axis=1, keepdims=True)
         feats = feats / jnp.maximum(norm, 1e-9)
+        # silence gate (mirrors runtime/fused.py 4b'): zero near-silent
+        # frames so the CRF extends a neighbor instead of decoding noise
+        hop = int(round(sr / CHROMA_FPS))
+        energy = np.asarray(rms(jnp.asarray(y), frame_length=2048, hop=hop))
+        energy = energy / (energy.max() + 1e-9)
+        if energy.shape[0] < feats.shape[0]:
+            energy = np.pad(energy, (0, feats.shape[0] - energy.shape[0]), constant_values=1.0)
+        feats = feats * jnp.asarray((energy[: feats.shape[0]] > 0.05).astype(np.float32))[:, None]
         path, conf = crf_chords.decode(crf_params, feats)
         path_np, conf_np = np.asarray(path).copy(), np.asarray(conf)
 

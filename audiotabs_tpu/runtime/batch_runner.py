@@ -60,41 +60,93 @@ def _load_and_bucket(paths: list[Path], bucket_s: float) -> tuple[np.ndarray, li
 _BATCH_FN_CACHE: dict = {}
 
 
-def _batched_fn(mesh, sr: int, separate: bool, switch_penalty: float, chord_backend: str):
+def _batched_fn(
+    mesh,
+    sr: int,
+    separate: bool,
+    switch_penalty: float,
+    chord_backend: str,
+    sep_cfg: tuple | None = None,
+):
     """Cached jitted shard_map program. Rebuilding the closure per call
     would miss jax's jit cache and recompile through the relay every batch
-    (~7 s/batch — the round-1 batch-throughput regression)."""
-    key = (mesh, sr, separate, switch_penalty, chord_backend)
+    (~7 s/batch — the round-1 batch-throughput regression).
+
+    ``sep_cfg`` = (seg, stride, shifts, n_sources, stem_idx, drums_idx)
+    activates real htdemucs separation INSIDE the sharded program: each
+    song runs separate → analyze on its own device, stems never leave the
+    chip, and the whole config-5 batch is still ONE dispatch."""
+    key = (mesh, sr, separate, switch_penalty, chord_backend, sep_cfg)
     fn = _BATCH_FN_CACHE.get(key)
     if fn is None:
         from jax import shard_map
 
         from .fused import fused_analysis
 
+        def song(sep_params, y, tl):
+            kwargs = dict(
+                # None = auto (Pallas on TPU): the median kernel's custom
+                # batching rule makes the Pallas path vmap-able, so batched
+                # songs keep the fast HPSS
+                use_pallas=None,
+                switch_penalty=switch_penalty,
+                separate=separate,
+                chord_backend=chord_backend,
+                true_len=tl,
+            )
+            if sep_cfg is not None:
+                from ..models.htdemucs import _separate_program
+
+                seg, stride, shifts, n_sources, stem_idx, drums_idx = sep_cfg
+                stems = _separate_program(
+                    sep_params, y, sr=sr, seg=seg, stride=stride,
+                    shifts=shifts, n_sources=n_sources,
+                )
+                kwargs["separate"] = False
+                return fused_analysis(
+                    stems[stem_idx], sr, y_beat=stems[drums_idx], y_mix=y, **kwargs
+                )
+            return fused_analysis(y, sr, **kwargs)
+
         fn = jax.jit(
             shard_map(
-                jax.vmap(
-                    lambda y, tl: fused_analysis(
-                        y,
-                        sr,
-                        # None = auto (Pallas on TPU): the median kernel's
-                        # custom batching rule makes the Pallas path
-                        # vmap-able, so batched songs keep the fast HPSS
-                        use_pallas=None,
-                        switch_penalty=switch_penalty,
-                        separate=separate,
-                        chord_backend=chord_backend,
-                        true_len=tl,
-                    )
-                ),
+                jax.vmap(song, in_axes=(None, 0, 0)),
                 mesh=mesh,
-                in_specs=(P("data", None), P("data")),
+                in_specs=(P(), P("data", None), P("data")),
                 out_specs=P("data"),
                 check_vma=False,
             )
         )
         _BATCH_FN_CACHE[key] = fn
     return fn
+
+
+def _resolve_separation(s, sr: int):
+    """→ (sep_cfg for _batched_fn, params pytree, chosen stem name | None).
+    Mirrors the single-song pipeline's stem-priority selection
+    (pipeline.py run_pipeline step 2) for the sharded batch program."""
+    sep_params = np.zeros((), np.float32)  # placeholder leaf when no weights
+    if not (s.ENABLE_DEMUCS and sr in (44100, 22050)):
+        return None, sep_params, None
+    from ..models import htdemucs as hd
+
+    params = hd.load_params()
+    if params is None:
+        return None, sep_params, None
+    seg = (
+        int(np.asarray(params["meta_segment"]))
+        if "meta_segment" in params
+        else int(hd.SEGMENT_SEC * hd.MODEL_SR)
+    )
+    seg = ((seg + hd.ALIGN - 1) // hd.ALIGN) * hd.ALIGN
+    stride = max(hd.ALIGN, int((1 - hd.OVERLAP) * seg) // hd.ALIGN * hd.ALIGN)
+    run_params = {k: v for k, v in params.items() if k != "meta_segment"}
+    n_sources = run_params["tdecoder"][-1]["convtr_w"].shape[1] // 2
+    names = hd.MODEL_STEMS.get(s.DEMUCS_MODEL, hd.MODEL_STEMS["htdemucs"])[:n_sources]
+    stem_idx = next((names.index(n) for n in s.stem_priority() if n in names), 2)
+    drums_idx = names.index("drums") if "drums" in names else 0
+    sep_cfg = (seg, stride, int(s.DEMUCS_SHIFTS), n_sources, stem_idx, drums_idx)
+    return sep_cfg, run_params, names[stem_idx]
 
 
 def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None, true_lens=None):
@@ -115,27 +167,34 @@ def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None, true_lens=None
         batch = np.concatenate([batch, np.zeros((pad_rows,) + batch.shape[1:], batch.dtype)])
         true_lens = np.concatenate([true_lens, np.full((pad_rows,), batch.shape[1], np.int32)])
 
-    # same weight-free HPSS separation fallback as the single-song pipeline
-    # (htdemucs weights are not applied on the batch path)
+    # real htdemucs separation when the checkpoint exists (same priority
+    # logic as the single-song pipeline); else the weight-free HPSS fallback
     s = config.settings
     backend = s.CHORD_DETECTION_BACKEND
+    sep_cfg, sep_params, _ = _resolve_separation(s, sr)
     fn = _batched_fn(
         mesh, sr, s.ENABLE_DEMUCS, s.SWITCH_PENALTY,
         backend if backend in ("deep", "template") else "both",
+        sep_cfg,
     )
     device_batch = jax.device_put(jnp.asarray(batch), NamedSharding(mesh, P("data", None)))
     device_lens = jax.device_put(jnp.asarray(true_lens), NamedSharding(mesh, P("data")))
-    host = jax.device_get(fn(device_batch, device_lens))
+    host = jax.device_get(fn(sep_params, device_batch, device_lens))
     if pad_rows:
         host = {k: v[:B] for k, v in host.items()}
     return host
 
 
-def _postprocess_one(feats_i: dict, true_len: int, sr: int, job_dir: Path, job_id: str) -> JobResult:
+def _postprocess_one(
+    feats_i: dict, true_len: int, sr: int, job_dir: Path, job_id: str,
+    stem_source: str | None = None,
+) -> JobResult:
     """Host-side post-processing for one song given its fused features."""
     from .pipeline import run_pipeline_from_features
 
-    return run_pipeline_from_features(feats_i, true_len, sr, job_dir, job_id)
+    return run_pipeline_from_features(
+        feats_i, true_len, sr, job_dir, job_id, stem_source=stem_source
+    )
 
 
 def transcribe_batch(
@@ -155,6 +214,7 @@ def transcribe_batch(
 
     t0 = time.perf_counter()
     feats = batched_fused_analysis(batch, sr, mesh)
+    _cfg, _params, batch_stem_source = _resolve_separation(config.settings, sr)
     t_device = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -172,7 +232,9 @@ def transcribe_batch(
         for sub in ("input", "work", "out"):
             (job_dir / sub).mkdir(parents=True, exist_ok=True)
         feats_i = {k: np.asarray(v[i]) for k, v in feats.items()}
-        return _postprocess_one(feats_i, true_lens[i], sr, job_dir, job_id)
+        return _postprocess_one(
+            feats_i, true_lens[i], sr, job_dir, job_id, stem_source=batch_stem_source
+        )
 
     with ThreadPoolExecutor(max_workers=host_workers) as pool:
         results = list(pool.map(one, range(len(paths))))

@@ -167,6 +167,14 @@ def fused_analysis(
             feats_t = dc_chroma / jnp.maximum(norm, 1e-9)
         else:
             feats_t = chroma_n.T
+        # silence gate: per-frame L2 normalization turns a near-silent
+        # lead-in into amplified noise the CRF reads as a confident wrong
+        # chord (the golden WAV grew a spurious leading G:min); zeroed
+        # features give uniform emissions, so Viterbi's transition prior
+        # extends the neighboring chord instead
+        feats_t = jnp.where(
+            energy[: feats_t.shape[0], None] > 0.05, feats_t, 0.0
+        )
         if true_len is not None:
             valid = jnp.arange(feats_t.shape[0]) * hop < true_len
             # uniform emission past the song end: the backtrack then simply

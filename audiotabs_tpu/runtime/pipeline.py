@@ -212,6 +212,7 @@ def run_pipeline_from_features(
     sr: int,
     job_dir: Path | str,
     job_id: str | None = None,
+    stem_source: str | None = None,
 ) -> JobResult:
     """Post-analysis pipeline for a song whose fused features were computed
     elsewhere (the batch runner's per-song tail, runtime/batch_runner.py)."""
@@ -240,7 +241,8 @@ def run_pipeline_from_features(
         job_id=job_id or job_dir.name,
         timer=timer,
         errors=errors,
-        stem_source="hpss_harmonic" if config.settings.ENABLE_DEMUCS else "mix",
+        stem_source=stem_source
+        or ("hpss_harmonic" if config.settings.ENABLE_DEMUCS else "mix"),
         beat_act_from_feats=True,
         beat_source=None,
     )

@@ -235,8 +235,18 @@ def _golden_gate(dnn_chroma):
     chroma = chroma / (np.linalg.norm(chroma, axis=0, keepdims=True) + 1e-9)
     crf_params = crf_chords.load_params() or crf_chords.template_emission_params()
     path, conf = crf_chords.decode(crf_params, jnp.asarray(chroma.T))
-    times = np.arange(chroma.shape[1], dtype=np.float32) / CHROMA_FPS
-    segs = frames_to_segments(np.asarray(path), np.asarray(conf), times, crf_chords.LABELS, min_len=0.25)
+    path_np, conf_np = np.asarray(path).copy(), np.asarray(conf)
+    # the production deep path beat-sync-majority-smooths the frame path
+    # (chords/extract.py extract_chords_deep) — gate on that same decode,
+    # not the raw frames, or sub-beat onset artifacts fail the progression
+    ref_bt = json.loads((golden / "out" / "beat_times.json").read_text())
+    beats = np.asarray(ref_bt.get("beat_times_raw_s", []), dtype=np.float32)
+    from ..chords.segments import beat_sync_majority
+
+    proxy = np.broadcast_to(conf_np[None, :], (crf_chords.N_STATES, path_np.shape[0])).copy()
+    path_np, conf_np = beat_sync_majority(path_np, proxy, beats if beats.size else None, CHROMA_FPS)
+    times = np.arange(path_np.shape[0], dtype=np.float32) / CHROMA_FPS
+    segs = frames_to_segments(path_np, conf_np, times, crf_chords.LABELS, min_len=0.25)
 
     ref = json.loads((golden / "out" / "chords.json").read_text())
     offset = 0.79
@@ -254,6 +264,8 @@ def _golden_gate(dnn_chroma):
     labels = [c.label for c in segs if c.label != "N"]
     collapsed = [l for i, l in enumerate(labels) if i == 0 or l != labels[i - 1]]
     prog_ok = collapsed == ["G:maj", "D:maj", "A:min", "G:maj", "D:maj", "C:maj", "G:maj"]
+    if not prog_ok:
+        print(f"golden progression decoded: {collapsed}", flush=True)
     return agree / len(ts), prog_ok
 
 

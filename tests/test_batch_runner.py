@@ -29,6 +29,9 @@ def song_files(tmp_path_factory):
 def test_batch_transcription_sharded(song_files, tmp_path, monkeypatch):
     monkeypatch.setenv("TRANSCRIPTION_MODE", "notes")
     monkeypatch.setenv("PAD_SECONDS_BUCKET", "2")
+    # sharding-mechanics test: pin the weight-free HPSS path (64 htdemucs
+    # forwards are too slow for the CPU mesh; see test_batch_with_separation)
+    monkeypatch.setenv("HTDEMUCS_WEIGHTS", "off")
     from audiotabs_tpu.config import reload_settings
 
     reload_settings()
@@ -55,6 +58,7 @@ def test_batch_64_songs_config5_scale(tmp_path, monkeypatch):
     8-virtual-device mesh (short clips keep the CPU run tractable)."""
     monkeypatch.setenv("TRANSCRIPTION_MODE", "notes")
     monkeypatch.setenv("PAD_SECONDS_BUCKET", "2")
+    monkeypatch.setenv("HTDEMUCS_WEIGHTS", "off")
     from audiotabs_tpu.config import reload_settings
 
     reload_settings()
@@ -91,3 +95,32 @@ def test_batch_64_songs_config5_scale(tmp_path, monkeypatch):
     results = transcribe_batch(paths[:16], tmp_path / "run", mesh=mesh, host_workers=4)
     assert len(results) == 16
     assert all(r.score is not None for r in results)
+
+
+@pytest.mark.slow
+def test_batch_with_separation(song_files, tmp_path, monkeypatch):
+    """The sharded batch program runs REAL htdemucs separation per song
+    (separate → analyze in one dispatch) when the checkpoint exists, and the
+    per-song artifacts report the separated stem."""
+    import json
+    from pathlib import Path
+
+    weights = Path(__file__).resolve().parent.parent / "audiotabs_tpu/weights/htdemucs.npz"
+    if not weights.exists():
+        pytest.skip("no trained htdemucs checkpoint")
+    monkeypatch.setenv("TRANSCRIPTION_MODE", "notes")
+    monkeypatch.setenv("PAD_SECONDS_BUCKET", "2")
+    from audiotabs_tpu.config import reload_settings
+
+    reload_settings()
+    from audiotabs_tpu.parallel.mesh import make_mesh
+    from audiotabs_tpu.runtime.batch_runner import transcribe_batch
+
+    mesh = make_mesh((8,), ("data",))
+    results = transcribe_batch(song_files[:4], tmp_path, mesh=mesh, host_workers=2)
+    assert len(results) == 4
+    for i in range(4):
+        bt = json.loads(
+            (tmp_path / "jobs" / f"song{i}" / "out" / "beat_times.json").read_text()
+        )
+        assert bt["stem_source"] not in ("mix", "hpss_harmonic")
