@@ -146,6 +146,63 @@ def peak_normalize(x: np.ndarray, peak: float = 0.95) -> np.ndarray:
     return (x * (peak / m)).astype(np.float32)
 
 
+def decode_mono(input_path: str | os.PathLike) -> tuple[np.ndarray, int] | None:
+    """Decode a WAV/MP3/FFmpeg-supported container to mono at its NATIVE
+    rate, or None when no in-process decoder recognizes the bytes."""
+    input_path = Path(input_path)
+    if input_path.suffix.lower() in (".wav", ".wave") or _looks_like_wav(input_path):
+        return load_wav(input_path, mono=True)
+
+    from .mp3 import decode_mp3, looks_like_mp3, mp3_available
+
+    if (input_path.suffix.lower() == ".mp3" or looks_like_mp3(input_path)) and mp3_available():
+        x, sr = decode_mp3(input_path, mono=True)
+        return x.astype(np.float32), sr
+
+    from .avdecode import av_available, decode_any
+
+    if av_available():
+        try:
+            x, sr = decode_any(input_path)
+        except RuntimeError:
+            return None
+        if x is not None and x.size:
+            return x.astype(np.float32), sr
+    return None
+
+
+def decode_for_analysis(
+    input_path: str | os.PathLike,
+    out_path: str | os.PathLike,
+    analysis_sr: int,
+) -> tuple[np.ndarray, int, "threading.Thread | None"]:
+    """Decode to mono at ``analysis_sr`` with ONE resample from the native
+    rate; the mono-44.1k work artifact (reference: audio.py:7-16 writes it
+    via ffmpeg) is produced on a daemon thread so its resample + 5 MB disk
+    write overlap the device work instead of sitting on the critical path.
+    Returns (audio, analysis_sr, writer_thread | None) — join the thread
+    before relying on out_path."""
+    import threading
+
+    from .resample import resample_poly_host
+
+    decoded = decode_mono(input_path)
+    if decoded is None:
+        # fall back to the ffmpeg-binary path (also writes out_path)
+        x44, sr44 = decode_to_mono_44k(input_path, out_path)
+        return resample_poly_host(x44, sr44, analysis_sr), analysis_sr, None
+    x, sr = decoded
+    y = resample_poly_host(x, sr, analysis_sr) if sr != analysis_sr else x
+
+    def _write_artifact():
+        x44 = resample_poly_host(x, sr, 44100) if sr != 44100 else x
+        write_wav(out_path, x44, 44100)
+
+    t = threading.Thread(target=_write_artifact, daemon=True)
+    t.start()
+    return y, analysis_sr, t
+
+
 def decode_to_mono_44k(input_path: str | os.PathLike, out_path: str | os.PathLike) -> tuple[np.ndarray, int]:
     """Decode any input to mono 44.1 kHz WAV at out_path, returning the audio.
 

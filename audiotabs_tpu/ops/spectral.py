@@ -92,12 +92,28 @@ def istft(
     nf = frames.shape[-2]
     out_len = n_fft + hop * (nf - 1)
 
-    # overlap-add via scatter-add on a frame-index map
-    idx = (jnp.arange(nf)[:, None] * hop + jnp.arange(n_fft)[None, :]).reshape(-1)
-    flat = frames.reshape(frames.shape[:-2] + (-1,))
-    sig = jnp.zeros(frames.shape[:-2] + (out_len,), dtype=frames.dtype)
-    sig = sig.at[..., idx].add(flat)
-    wsum = jnp.zeros((out_len,), dtype=jnp.float32).at[idx].add(jnp.tile(w * w, nf))
+    if n_fft % hop == 0:
+        # overlap-add as R = n_fft/hop static slice-adds: frame f's hop-sized
+        # chunk c lands exactly on block f+c, so the whole OLA is R
+        # dynamic-update-slices — the index-map scatter below lowers to a
+        # generic (sort-based) scatter on TPU and dominated istft's runtime
+        R = n_fft // hop
+        chunks = frames.reshape(frames.shape[:-1] + (R, hop))
+        sig2 = jnp.zeros(frames.shape[:-2] + (nf + R - 1, hop), dtype=frames.dtype)
+        wc = (w * w).reshape(R, hop)
+        ws2 = jnp.zeros((nf + R - 1, hop), dtype=jnp.float32)
+        for c in range(R):
+            sig2 = sig2.at[..., c : c + nf, :].add(chunks[..., :, c, :])
+            ws2 = ws2.at[c : c + nf, :].add(jnp.broadcast_to(wc[c], (nf, hop)))
+        sig = sig2.reshape(frames.shape[:-2] + (out_len,))
+        wsum = ws2.reshape(-1)
+    else:
+        # overlap-add via scatter-add on a frame-index map
+        idx = (jnp.arange(nf)[:, None] * hop + jnp.arange(n_fft)[None, :]).reshape(-1)
+        flat = frames.reshape(frames.shape[:-2] + (-1,))
+        sig = jnp.zeros(frames.shape[:-2] + (out_len,), dtype=frames.dtype)
+        sig = sig.at[..., idx].add(flat)
+        wsum = jnp.zeros((out_len,), dtype=jnp.float32).at[idx].add(jnp.tile(w * w, nf))
     sig = sig / jnp.maximum(wsum, 1e-8)
 
     if center:

@@ -79,16 +79,19 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
 
     import jax.numpy as jnp
 
-    from ..io import decode_to_mono_44k, peak_normalize, resample_poly_host, write_wav
+    from ..io import peak_normalize, write_wav
+    from ..io.wav import decode_for_analysis
 
     # ---- 1. decode (pipeline.py:1621-1622) ----
+    # one resample from the native rate straight to the analysis rate; the
+    # mono-44.1k work artifact writes on a thread, overlapped with device work
     with timer("decode"):
-        y44, sr44 = decode_to_mono_44k(input_path, work / "audio_mono_44k.wav")
-        if y44.size < sr44 // 10:
-            raise ValueError(f"input too short: {y44.size} samples")
-        y44 = peak_normalize(y44)
-        y = resample_poly_host(y44, sr44, ANALYSIS_SR)
-        sr = ANALYSIS_SR
+        y, sr, artifact_writer = decode_for_analysis(
+            input_path, work / "audio_mono_44k.wav", ANALYSIS_SR
+        )
+        if y.size < sr // 10:
+            raise ValueError(f"input too short: {y.size} samples")
+        y = peak_normalize(y)
 
     true_len = len(y)
     y_pad = _pad_to_bucket(y, sr, s.PAD_SECONDS_BUCKET)
@@ -186,6 +189,9 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
             except Exception as exc:
                 errors.append(f"harmonic: {exc}")
                 y_harm = stem[:true_len]
+
+    if artifact_writer is not None:
+        artifact_writer.join(timeout=30)  # artifact durable before the tail
 
     return _pipeline_tail(
         feats=feats,
