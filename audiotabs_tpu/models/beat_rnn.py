@@ -140,7 +140,10 @@ def _bilstm_scan(layer: dict, x):
         return (h, c), h
 
     init = (jnp.zeros((2, H)), jnp.zeros((2, H)))
-    _, hs = jax.lax.scan(step, init, xs)  # [T, 2, H]
+    # unroll: the per-step tensors are tiny ([2, 25] per window), so the
+    # scan is loop-overhead-bound on TPU — unrolling 16 steps cut the
+    # fused program's dominant stage (this BLSTM) roughly in half
+    _, hs = jax.lax.scan(step, init, xs, unroll=16)  # [T, 2, H]
     return jnp.concatenate([hs[:, 0], hs[::-1, 1]], axis=-1)  # [T, 2H]
 
 
