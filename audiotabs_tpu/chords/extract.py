@@ -88,9 +88,7 @@ def extract_chords_deep(
     already ran inside the fused program — then this function is pure host
     post-processing (zero device dispatches)."""
     from ..models import crf_chords
-    from ..models.deepchroma import load_params as load_dc
 
-    dc_params = load_dc()
     if precomputed_chroma is not None and precomputed_path is not None:
         # the fused program already ran the full deep path (DNN chroma when
         # weights exist — runtime/fused.py 4b' — else salience chroma) and
@@ -99,6 +97,9 @@ def extract_chords_deep(
         path_np = np.asarray(precomputed_path[0]).copy()
         conf_np = np.asarray(precomputed_path[1])
     else:
+        from ..models.deepchroma import load_params as load_dc
+
+        dc_params = load_dc()
         if dc_params is not None:
             from ..models.deepchroma import deep_chroma_apply
 

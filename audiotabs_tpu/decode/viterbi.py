@@ -43,7 +43,7 @@ def viterbi_constant_switch(emissions, switch_penalty):
         return new_dp, bp
 
     dp0 = logp[:, 0]
-    dp, bps = jax.lax.scan(step, dp0, logp[:, 1:].T)
+    dp, bps = jax.lax.scan(step, dp0, logp[:, 1:].T, unroll=8)
 
     last = jnp.argmin(dp)
 
@@ -51,7 +51,7 @@ def viterbi_constant_switch(emissions, switch_penalty):
         prev = bp[s]
         return prev, prev  # output at frame t is the state BEFORE transition t→t+1
 
-    _, path_rev = jax.lax.scan(back, last, bps, reverse=True)
+    _, path_rev = jax.lax.scan(back, last, bps, reverse=True, unroll=8)
     path = jnp.concatenate([path_rev, last[None]])
     conf = emissions[path, jnp.arange(T)]
     return path.astype(jnp.int32), conf
@@ -76,13 +76,13 @@ def viterbi_log_dense(log_emissions, log_transition, log_initial=None):
         return best, bp
 
     score0 = log_initial + log_emissions[0]
-    score, bps = jax.lax.scan(step, score0, log_emissions[1:])
+    score, bps = jax.lax.scan(step, score0, log_emissions[1:], unroll=8)
     last = jnp.argmax(score)
 
     def back(s, bp):
         prev = bp[s]
         return prev, prev
 
-    _, path_rev = jax.lax.scan(back, last, bps, reverse=True)
+    _, path_rev = jax.lax.scan(back, last, bps, reverse=True, unroll=8)
     path = jnp.concatenate([path_rev, last[None]])
     return path.astype(jnp.int32), jnp.max(score)

@@ -195,10 +195,14 @@ def decode_for_analysis(
     y = resample_poly_host(x, sr, analysis_sr) if sr != analysis_sr else x
 
     def _write_artifact():
-        x44 = resample_poly_host(x, sr, 44100) if sr != 44100 else x
-        write_wav(out_path, x44, 44100)
+        try:
+            x44 = resample_poly_host(x, sr, 44100) if sr != 44100 else x
+            write_wav(out_path, x44, 44100)
+        except Exception as exc:  # surfaced by the caller after join()
+            t.error = exc
 
     t = threading.Thread(target=_write_artifact, daemon=True)
+    t.error = None  # type: ignore[attr-defined]
     t.start()
     return y, analysis_sr, t
 

@@ -703,6 +703,16 @@ def _separate_program(params, y, sr: int, seg: int, stride: int, shifts: int, n_
 _PARAMS_DEV: tuple | None = None
 
 
+def device_params(params: dict):
+    """Checkpoint pytree (minus meta) resident on device — uploaded ONCE
+    per process; keyed on the load_params() identity (which is cached)."""
+    global _PARAMS_DEV
+    if _PARAMS_DEV is None or _PARAMS_DEV[0] is not params:
+        run = {k: v for k, v in params.items() if k != "meta_segment"}
+        _PARAMS_DEV = (params, jax.device_put(run))
+    return _PARAMS_DEV[1]
+
+
 def separate_stems_device(
     y: np.ndarray, sr: int, model_name: str = "htdemucs_6s", shifts: int = 2
 ) -> dict | None:
@@ -710,30 +720,19 @@ def separate_stems_device(
     or None when no weights are loaded. Outputs stay on device so downstream
     device consumers (fused_analysis beat tracking on drums) skip the host
     round-trip; np.asarray() any stem that needs to reach the host."""
-    global _PARAMS_DEV
     params = load_params()
     if params is None:
         return None
     if y.ndim != 1 or sr not in (MODEL_SR, MODEL_SR // 2):
         host = separate_stems(np.asarray(y), sr, model_name=model_name)
         return None if host is None else {k: jnp.asarray(v) for k, v in host.items()}
-    seg = int(np.asarray(params["meta_segment"])) if "meta_segment" in params else int(
-        SEGMENT_SEC * MODEL_SR
-    )
-    seg = ((seg + ALIGN - 1) // ALIGN) * ALIGN
-    stride = max(ALIGN, int((1 - OVERLAP) * seg) // ALIGN * ALIGN)
-    run_params = {k: v for k, v in params.items() if k != "meta_segment"}
-    if _PARAMS_DEV is None or _PARAMS_DEV[0] is not params:
-        # upload the checkpoint once; later dispatches reuse device memory
-        _PARAMS_DEV = (params, jax.device_put(run_params))
-    n_sources = run_params["tdecoder"][-1]["convtr_w"].shape[1] // 2
+    cfg = program_config(params, model_name, list(MODEL_STEMS["htdemucs"]))
     y_dev = y if isinstance(y, jax.Array) else jnp.asarray(np.asarray(y, np.float32))
     out = _separate_program(
-        _PARAMS_DEV[1], y_dev, sr=sr, seg=seg,
-        stride=stride, shifts=shifts, n_sources=n_sources,
+        device_params(params), y_dev, sr=sr, seg=cfg["seg"],
+        stride=cfg["stride"], shifts=shifts, n_sources=cfg["n_sources"],
     )
-    stems = MODEL_STEMS.get(model_name, MODEL_STEMS["htdemucs"])
-    return {name: out[i] for i, name in enumerate(stems[: out.shape[0]])}
+    return {name: out[i] for i, name in enumerate(cfg["names"])}
 
 
 def apply_model(
@@ -943,14 +942,51 @@ def default_weights_path() -> str:
     return str(Path(__file__).resolve().parent.parent / "weights" / "htdemucs.npz")
 
 
+_LOAD_CACHE: dict = {}
+
+
 def load_params(path: str | None = None) -> dict | None:
     path = path or default_weights_path()
     if not path or not os.path.exists(path):
         return None
+    # cache by path AND return the SAME dict each call: separate_stems_device
+    # keys its device-put cache on identity, and the 9 MB npz parse is not
+    # free either
+    if path in _LOAD_CACHE:
+        return _LOAD_CACHE[path]
     from .params_io import load_pytree_npz
 
     params = load_pytree_npz(path)  # flat path-keyed npz; no pickle
-    return params if isinstance(params, dict) and "encoder" in params else None
+    params = params if isinstance(params, dict) and "encoder" in params else None
+    _LOAD_CACHE[path] = params
+    return params
+
+
+def program_config(params: dict, model_name: str, stem_priority: list[str]) -> dict:
+    """Derive the separation-program constants from a checkpoint: segment
+    length, stride, source count, and the stem/drums indices for the given
+    priority list. Single source of truth for separate_stems_device AND the
+    batch runner (runtime/batch_runner._resolve_separation)."""
+    if "meta_segment" in params:
+        seg = int(np.asarray(params["meta_segment"]))
+    else:
+        seg = int(SEGMENT_SEC * MODEL_SR)
+    seg = ((seg + ALIGN - 1) // ALIGN) * ALIGN
+    stride = max(ALIGN, int((1 - OVERLAP) * seg) // ALIGN * ALIGN)
+    run_params = {k: v for k, v in params.items() if k != "meta_segment"}
+    n_sources = run_params["tdecoder"][-1]["convtr_w"].shape[1] // 2
+    names = MODEL_STEMS.get(model_name, MODEL_STEMS["htdemucs"])[:n_sources]
+    stem_idx = next((names.index(n) for n in stem_priority if n in names), 2)
+    drums_idx = names.index("drums") if "drums" in names else 0
+    return {
+        "seg": seg,
+        "stride": stride,
+        "n_sources": n_sources,
+        "names": names,
+        "stem_idx": stem_idx,
+        "drums_idx": drums_idx,
+        "run_params": run_params,
+    }
 
 
 _PARAMS: dict | None = None

@@ -117,6 +117,14 @@ def load_params(path: str | None = None) -> dict | None:
     data = np.load(path)
     # numpy on purpose: this loader can run at fused-program trace time
     params = {k: np.asarray(v) for k, v in data.items()}
+    # layout check: the dense head reads the flattened (bands//4, 32) map —
+    # a checkpoint from the old global-pooled head ((32, 24) out_w) would
+    # shape-error at fused-program trace time and take down EVERY device
+    # stage with it; reject it here so only the key estimate falls back
+    ow = params.get("out_w")
+    if ow is None or ow.ndim != 2 or ow.shape != ((120 // 4) * 32, N_CLASSES):
+        _PARAMS_CACHE[path] = None
+        return None
     _PARAMS_CACHE[path] = params
     return params
 

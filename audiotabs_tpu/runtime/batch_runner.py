@@ -122,31 +122,24 @@ def _batched_fn(
 
 
 def _resolve_separation(s, sr: int):
-    """→ (sep_cfg for _batched_fn, params pytree, chosen stem name | None).
-    Mirrors the single-song pipeline's stem-priority selection
-    (pipeline.py run_pipeline step 2) for the sharded batch program."""
-    sep_params = np.zeros((), np.float32)  # placeholder leaf when no weights
+    """→ (sep_cfg for _batched_fn, DEVICE params pytree, chosen stem name |
+    None). Delegates the checkpoint-derived constants to
+    htdemucs.program_config — the same single source of truth the
+    single-song path uses — and reuses its process-wide device upload."""
+    placeholder = np.zeros((), np.float32)  # pytree leaf when no weights
     if not (s.ENABLE_DEMUCS and sr in (44100, 22050)):
-        return None, sep_params, None
+        return None, placeholder, None
     from ..models import htdemucs as hd
 
     params = hd.load_params()
     if params is None:
-        return None, sep_params, None
-    seg = (
-        int(np.asarray(params["meta_segment"]))
-        if "meta_segment" in params
-        else int(hd.SEGMENT_SEC * hd.MODEL_SR)
+        return None, placeholder, None
+    cfg = hd.program_config(params, s.DEMUCS_MODEL, s.stem_priority())
+    sep_cfg = (
+        cfg["seg"], cfg["stride"], int(s.DEMUCS_SHIFTS),
+        cfg["n_sources"], cfg["stem_idx"], cfg["drums_idx"],
     )
-    seg = ((seg + hd.ALIGN - 1) // hd.ALIGN) * hd.ALIGN
-    stride = max(hd.ALIGN, int((1 - hd.OVERLAP) * seg) // hd.ALIGN * hd.ALIGN)
-    run_params = {k: v for k, v in params.items() if k != "meta_segment"}
-    n_sources = run_params["tdecoder"][-1]["convtr_w"].shape[1] // 2
-    names = hd.MODEL_STEMS.get(s.DEMUCS_MODEL, hd.MODEL_STEMS["htdemucs"])[:n_sources]
-    stem_idx = next((names.index(n) for n in s.stem_priority() if n in names), 2)
-    drums_idx = names.index("drums") if "drums" in names else 0
-    sep_cfg = (seg, stride, int(s.DEMUCS_SHIFTS), n_sources, stem_idx, drums_idx)
-    return sep_cfg, run_params, names[stem_idx]
+    return sep_cfg, hd.device_params(params), cfg["names"][cfg["stem_idx"]]
 
 
 def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None, true_lens=None):
@@ -171,7 +164,7 @@ def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None, true_lens=None
     # logic as the single-song pipeline); else the weight-free HPSS fallback
     s = config.settings
     backend = s.CHORD_DETECTION_BACKEND
-    sep_cfg, sep_params, _ = _resolve_separation(s, sr)
+    sep_cfg, sep_params, stem_name = _resolve_separation(s, sr)
     fn = _batched_fn(
         mesh, sr, s.ENABLE_DEMUCS, s.SWITCH_PENALTY,
         backend if backend in ("deep", "template") else "both",

@@ -192,6 +192,10 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
 
     if artifact_writer is not None:
         artifact_writer.join(timeout=30)  # artifact durable before the tail
+        if artifact_writer.is_alive():
+            errors.append("decode: audio_mono_44k.wav writer did not finish")
+        elif getattr(artifact_writer, "error", None) is not None:
+            errors.append(f"decode: audio_mono_44k.wav write failed: {artifact_writer.error}")
 
     return _pipeline_tail(
         feats=feats,

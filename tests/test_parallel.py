@@ -12,7 +12,10 @@ def test_mesh_construction():
     assert mesh2.shape == {"data": 4, "model": 2}
 
 
-def test_batched_fused_analysis_8dev():
+def test_batched_fused_analysis_8dev(monkeypatch):
+    # mesh-mechanics test: pin the HPSS path (separation-in-batch has its
+    # own slow-marked test in test_batch_runner.py)
+    monkeypatch.setenv("HTDEMUCS_WEIGHTS", "off")
     from audiotabs_tpu.parallel import make_mesh
     from audiotabs_tpu.runtime.batch_runner import batched_fused_analysis
 
