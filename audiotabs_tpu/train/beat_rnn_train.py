@@ -200,12 +200,24 @@ def train(
     )
 
     better_on_golden = g_blstm is None or g_blstm >= g_dsp
+    # ratchet: never overwrite an existing checkpoint that scores higher on
+    # the golden oracle than the candidate
+    if better_on_golden and golden_eval is not None and Path(out_path).exists():
+        old = beat_rnn.load_params(out_path)
+        if old is not None:
+            g_old = golden_eval(blstm_act_for(old))
+            print(f"existing checkpoint golden F {g_old:.3f}", flush=True)
+            better_on_golden = g_blstm >= g_old - 1e-6
     if f_blstm >= min(f_dsp, 0.95) and better_on_golden and f_blstm > 0.85:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
         beat_rnn.save_params(out_path, params)
         print(f"saved {out_path}", flush=True)
     else:
-        print("NOT saved: BLSTM does not improve on the DSP baseline", flush=True)
+        print(
+            "NOT saved: candidate does not beat the DSP baseline and the "
+            "existing checkpoint on the gates",
+            flush=True,
+        )
     return {
         "f_blstm": f_blstm, "f_dsp": f_dsp,
         "g_blstm": g_blstm, "g_dsp": g_dsp, "params": params,

@@ -71,7 +71,7 @@ def synth_beat_clip(
     phase = float(rng.uniform(0.0, period))
     beats = np.arange(phase, duration_s - 0.05, period)
 
-    style = rng.choice(["drums", "strum", "both", "legato"])
+    style = rng.choice(["drums", "strum", "both", "legato", "fingerpick"])
     root = int(rng.integers(40, 56))
     scale = np.array([0, 2, 4, 5, 7, 9, 11])
     prog = [root + int(rng.choice(scale)) for _ in range(4)]
@@ -133,6 +133,37 @@ def synth_beat_clip(
             if a + dur < n:
                 t_amp = 0.04 if soft else 0.12
                 y[a : a + dur] += t_amp * _noise_burst(rng, dur, 6.0)
+
+    # fingerpicked accompaniment (the golden WAV's style): alternating
+    # root/fifth bass ON the beat, chord-tone arpeggios on the off-eighths,
+    # no percussive bursts — beats are marked only by the bass plucks
+    if style == "fingerpick":
+        for i, b in enumerate(sounded):
+            if not keep[i]:
+                continue
+            ch = prog[(i // beats_per_chord) % 4]
+            qual = quals[(i // beats_per_chord) % 4]
+            bass_p = ch - 12 + (7 if i % 2 == 1 and rng.random() < 0.7 else 0)
+            a = int(b * sr)
+            dur = min(int(period * sr * 0.95), n - a)
+            if dur > 0:
+                seg = np.arange(dur) / sr
+                fb = 440.0 * 2 ** ((bass_p - 69) / 12)
+                y[a : a + dur] += 0.35 * float(rng.uniform(0.7, 1.0)) * _pluck(
+                    fb, seg, rng, decay=1.5 / period
+                )
+            for frac in (0.25, 0.5, 0.75):
+                if rng.uniform() < 0.3:
+                    continue
+                iv = int(rng.choice(_CHORDS[qual]))
+                a2 = int((b + frac * period) * sr)
+                d2 = min(int(period * sr * 0.4), n - a2)
+                if d2 > 0:
+                    seg = np.arange(d2) / sr
+                    f = 440.0 * 2 ** ((ch + iv - 69) / 12)
+                    y[a2 : a2 + d2] += 0.16 * float(rng.uniform(0.6, 1.0)) * _pluck(
+                        f, seg, rng, decay=2.5 / period
+                    )
 
     # melody on beats or eighths
     if rng.uniform() < 0.7:
