@@ -76,8 +76,19 @@ def decode(params: dict, feats):
     return path, conf
 
 
+def default_weights_path() -> str:
+    """Checked-in trained weights; CRF_CHORDS_WEIGHTS overrides ('off'
+    reverts to the analytic template emissions)."""
+    env = os.environ.get("CRF_CHORDS_WEIGHTS")
+    if env is not None:
+        return "" if env.lower() in ("off", "none", "0") else env
+    from pathlib import Path
+
+    return str(Path(__file__).resolve().parent.parent / "weights" / "crf_chords.npz")
+
+
 def load_params(path: str | None = None) -> dict | None:
-    path = path or os.environ.get("CRF_CHORDS_WEIGHTS", "")
+    path = path or default_weights_path()
     if not path or not os.path.exists(path):
         return None
     data = np.load(path)

@@ -174,7 +174,21 @@ def train(
     if g_overlap is not None:
         print(f"[info] golden chord overlap if CNN fed chroma: {g_overlap:.3f} progression={'ok' if g_prog else 'FAIL'}", flush=True)
 
-    if f_cnn > f_sal and ok_tone:
+    g_recall = _golden_note_recall(params)
+    ratchet_ok = True
+    if g_recall is not None:
+        print(f"golden note recall: {g_recall:.3f}", flush=True)
+        # ratchet: never overwrite an existing checkpoint that recalls more
+        # of the reference's golden note events
+        if Path(out_path).exists():
+            old = bp.load_params(str(out_path))
+            if old is not None:
+                g_old = _golden_note_recall(old)
+                if g_old is not None:
+                    print(f"existing checkpoint golden recall: {g_old:.3f}", flush=True)
+                    ratchet_ok = g_recall >= g_old - 1e-6
+
+    if f_cnn > f_sal and ok_tone and ratchet_ok:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
         np.savez(out_path, **{k: np.asarray(v) for k, v in params.items()})
         print(f"saved {out_path}", flush=True)
@@ -208,6 +222,39 @@ def _pure_tone_smoke(params) -> bool:
     onset, frame = bp.cnn_apply(params, bp.hcqt(jnp.asarray(seq), SR))[:2]
     est = sorted(decode_events(onset, frame), key=lambda e: e.start_time_s)
     return bool(est) and est[0].pitch_midi == 60 and est[-1].pitch_midi == 67
+
+
+def _golden_note_recall(params) -> float | None:
+    """Recall of the reference's note_events.csv (onset ±50 ms, exact
+    pitch) when this CNN's posteriors are decoded on the golden WAV's
+    HPSS-harmonic — the quantitative gate tests/test_golden_parity.py
+    enforces downstream."""
+    import csv
+
+    golden = Path("/root/reference/data/jobs/c34b660dfb454be486983b1913bab38c")
+    csv_path = golden / "out" / "note_events.csv"
+    if not csv_path.exists():
+        return None
+    from ..io import load_wav, peak_normalize, resample_poly_host
+    from ..ops.hpss import hpss
+
+    yg, srg = load_wav(golden / "input" / "upload.wav")
+    yg = resample_poly_host(peak_normalize(yg), srg, SR)
+    y_harm = hpss(jnp.asarray(yg))[0]
+    onset, frame = bp.cnn_apply(params, bp.hcqt(y_harm, SR))[:2]
+    est = decode_events(onset, frame)
+    ref = [
+        (float(r["start_time_s"]), int(r["pitch_midi"]))
+        for r in csv.DictReader(open(csv_path))
+    ]
+    if not ref:
+        return None
+    hit = sum(
+        1
+        for rs, rp in ref
+        if any(e.pitch_midi == rp and abs(e.start_time_s - rs) <= 0.05 for e in est)
+    )
+    return hit / len(ref)
 
 
 def _golden_chord_parity(params):

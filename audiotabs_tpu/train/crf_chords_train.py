@@ -1,0 +1,234 @@
+"""Train the CRF chord recognizer (models/crf_chords.py) on synthetic chords.
+
+The reference uses madmom's pretrained CRFChordRecognitionProcessor
+(reference: backend/app/services/chords/deep_chords.py:63-82); no checkpoint
+exists here, so the emission layer is trained as frame-wise multinomial
+logistic regression over the PRODUCTION feature (the trained DeepChroma
+DNN's chroma, per-frame L2-normalized, exactly what runtime/fused.py 4b'
+feeds the CRF) and the transition matrix is estimated from smoothed bigram
+counts of the true label sequences.
+
+Save gates: (1) held-out CRF-decoded frame accuracy >= the analytic
+template emissions on the same features, (2) the golden WAV keeps its exact
+G/D/Am/C progression with overlap >= 0.86 through the production decode
+(beat-synchronous majority smoothing), (3) ratchet: never overwrite an
+existing checkpoint that scores higher on the golden overlap.
+
+Usage:
+    python -m audiotabs_tpu.train.crf_chords_train \
+        [--clips 60] [--steps 2000] [--out audiotabs_tpu/weights/crf_chords.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import crf_chords as cc
+from ..models import deepchroma as dc
+
+SR = 22050
+CLIP_S = 12.0
+FPS = 10
+
+
+def _dnn_chroma(yh, dc_params) -> np.ndarray:
+    """[T, 12] per-frame-normalized production CRF features."""
+    feats = dc.features(jnp.asarray(yh), SR)
+    ch = np.asarray(dc.apply(dc_params, feats))  # [T, 12]
+    norm = np.linalg.norm(ch, axis=1, keepdims=True)
+    return ch / np.maximum(norm, 1e-9)
+
+
+def _state_labels(labels, n_frames: int) -> np.ndarray:
+    """[(start, end, root_pc, quality)] → [T] state ids (0 = N)."""
+    out = np.zeros(n_frames, dtype=np.int32)
+    for start, end, root_pc, qual in labels:
+        a = int(round(start * FPS))
+        b = min(n_frames, max(a + 1, int(round(end * FPS))))
+        out[a:b] = 1 + root_pc + (12 if qual == "min" else 0)
+    return out
+
+
+def build_dataset(n_clips: int, seed: int, dc_params):
+    from ..ops.hpss import hpss
+    from .synth import synth_chord_clip
+
+    rng = np.random.default_rng(seed)
+    X, Y, seqs = [], [], []
+    for _ in range(n_clips):
+        y, labels = synth_chord_clip(rng, CLIP_S, SR)
+        yh = np.asarray(hpss(jnp.asarray(y))[0])
+        ch = _dnn_chroma(yh, dc_params)
+        st = _state_labels(labels, ch.shape[0])
+        X.append(ch)
+        Y.append(st)
+        seqs.append(st)
+    return np.concatenate(X), np.concatenate(Y), seqs
+
+
+def _transitions_from_bigrams(seqs, alpha: float = 1.0) -> np.ndarray:
+    counts = np.full((cc.N_STATES, cc.N_STATES), alpha, dtype=np.float64)
+    for s in seqs:
+        np.add.at(counts, (s[:-1], s[1:]), 1.0)
+    return np.log(counts / counts.sum(axis=1, keepdims=True)).astype(np.float32)
+
+
+def _decode_accuracy(params, X_clips, Y_clips) -> float:
+    accs = []
+    for ch, st in zip(X_clips, Y_clips):
+        path, _ = cc.decode(params, jnp.asarray(ch))
+        mask = st > 0
+        if mask.any():
+            accs.append(float((np.asarray(path)[mask] == st[mask]).mean()))
+    return float(np.mean(accs))
+
+
+def _golden_gate(params):
+    """Production decode on the golden WAV: (overlap, progression_ok)."""
+    import json
+
+    golden = Path("/root/reference/data/jobs/c34b660dfb454be486983b1913bab38c")
+    if not (golden / "out" / "chords.json").exists():
+        return None, True
+    from ..chords.extract import CHROMA_FPS
+    from ..chords.segments import beat_sync_majority, frames_to_segments
+    from ..io import load_wav, peak_normalize, resample_poly_host
+    from ..ops.hpss import hpss
+
+    dc_params = dc.load_params()
+    yg, srg = load_wav(golden / "input" / "upload.wav")
+    yg = resample_poly_host(peak_normalize(yg), srg, SR)
+    yh = np.asarray(hpss(jnp.asarray(yg))[0])
+    ch = _dnn_chroma(yh, dc_params)
+    path, conf = cc.decode(params, jnp.asarray(ch))
+    path_np, conf_np = np.asarray(path).copy(), np.asarray(conf)
+    ref_bt = json.loads((golden / "out" / "beat_times.json").read_text())
+    beats = np.asarray(ref_bt.get("beat_times_raw_s", []), dtype=np.float32)
+    proxy = np.broadcast_to(conf_np[None, :], (cc.N_STATES, path_np.shape[0])).copy()
+    path_np, conf_np = beat_sync_majority(path_np, proxy, beats if beats.size else None, CHROMA_FPS)
+    times = np.arange(path_np.shape[0], dtype=np.float32) / CHROMA_FPS
+    segs = frames_to_segments(path_np, conf_np, times, cc.LABELS, min_len=0.25)
+
+    ref = json.loads((golden / "out" / "chords.json").read_text())
+    offset = 0.79
+
+    def label_at(segments, t):
+        for c in segments:
+            s0 = c["start"] if isinstance(c, dict) else c.start
+            s1 = c["end"] if isinstance(c, dict) else c.end
+            if s0 <= t < s1:
+                return c["label"] if isinstance(c, dict) else c.label
+        return None
+
+    ts = np.arange(0.0, 14.0, 0.05)
+    agree = sum(1 for t in ts if label_at(ref, t) == label_at(segs, t + offset))
+    labels = [c.label for c in segs if c.label != "N"]
+    collapsed = [l for i, l in enumerate(labels) if i == 0 or l != labels[i - 1]]
+    prog_ok = collapsed == ["G:maj", "D:maj", "A:min", "G:maj", "D:maj", "C:maj", "G:maj"]
+    return agree / len(ts), prog_ok
+
+
+def train(
+    n_clips: int = 60,
+    steps: int = 2000,
+    batch: int = 512,
+    seed: int = 0,
+    out_path: str = "audiotabs_tpu/weights/crf_chords.npz",
+) -> dict:
+    t0 = time.time()
+    dc_params = dc.load_params()
+    if dc_params is None:
+        print("DeepChroma weights required (the CRF's production features)", flush=True)
+        return {}
+    X, Y, seqs = build_dataset(n_clips, seed, dc_params)
+    print(f"dataset: {X.shape} frames ({time.time()-t0:.0f}s)", flush=True)
+
+    emit_w = jnp.asarray(np.zeros((12, cc.N_STATES), np.float32))
+    emit_b = jnp.zeros((cc.N_STATES,))
+    sched = optax.cosine_decay_schedule(5e-2, steps, alpha=0.05)
+    opt = optax.adam(sched)
+    opt_state = opt.init((emit_w, emit_b))
+
+    def loss_fn(wb, xb, yb):
+        w, b = wb
+        logp = jax.nn.log_softmax(xb @ w + b, axis=-1)
+        return -logp[jnp.arange(xb.shape[0]), yb].mean()
+
+    @jax.jit
+    def update(wb, o, xb, yb):
+        loss, grads = jax.value_and_grad(loss_fn)(wb, xb, yb)
+        updates, o = opt.update(grads, o)
+        return optax.apply_updates(wb, updates), o, loss
+
+    rng = np.random.default_rng(seed)
+    wb = (emit_w, emit_b)
+    for step in range(steps):
+        sel = rng.integers(0, X.shape[0], size=batch)
+        wb, opt_state, loss = update(wb, opt_state, jnp.asarray(X[sel]), jnp.asarray(Y[sel]))
+        if step % 500 == 0 or step == steps - 1:
+            print(f"step {step}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
+
+    trans = _transitions_from_bigrams(seqs)
+    trained = {
+        "emit_w": np.asarray(wb[0]),
+        "emit_b": np.asarray(wb[1]),
+        "transitions": trans,
+        "initial": np.full((cc.N_STATES,), -np.log(cc.N_STATES), np.float32),
+    }
+
+    # ---- held-out eval vs the analytic template emissions ----
+    Xv_flat, Yv_flat, _ = build_dataset(10, seed + 33_000, dc_params)
+    nf = int(CLIP_S * FPS)
+    Xv = [Xv_flat[i * nf : (i + 1) * nf] for i in range(len(Xv_flat) // nf)]
+    Yv = [Yv_flat[i * nf : (i + 1) * nf] for i in range(len(Yv_flat) // nf)]
+    acc_tr = _decode_accuracy(trained, Xv, Yv)
+    acc_tmpl = _decode_accuracy(cc.template_emission_params(), Xv, Yv)
+    print(f"val frame accuracy: trained {acc_tr:.3f} vs template {acc_tmpl:.3f}", flush=True)
+
+    g_overlap, g_prog = _golden_gate(trained)
+    if g_overlap is not None:
+        print(f"golden: overlap {g_overlap:.3f} progression={'ok' if g_prog else 'FAIL'}", flush=True)
+    golden_ok = g_overlap is None or (g_overlap >= 0.86 and g_prog)
+
+    ratchet_ok = True
+    if g_overlap is not None and Path(out_path).exists():
+        old = cc.load_params(str(out_path))
+        if old is not None:
+            g_old, _ = _golden_gate(old)
+            if g_old is not None:
+                print(f"existing checkpoint golden overlap: {g_old:.3f}", flush=True)
+                ratchet_ok = g_overlap >= g_old - 1e-6
+
+    if acc_tr >= acc_tmpl and golden_ok and ratchet_ok:
+        Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+        np.savez(out_path, **trained)
+        print(f"saved {out_path}", flush=True)
+    else:
+        print("NOT saved: trained CRF fails an acceptance gate", flush=True)
+    return {"acc_trained": acc_tr, "acc_template": acc_tmpl,
+            "golden_overlap": g_overlap, "golden_progression_ok": g_prog}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=60)
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="audiotabs_tpu/weights/crf_chords.npz")
+    args = ap.parse_args(argv)
+    train(args.clips, args.steps, args.batch, args.seed, args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -218,22 +218,34 @@ def synth_note_clip(
         pitches = {base}
         while len(pitches) < k:
             pitches.add(int(np.clip(base + rng.choice([3, 4, 5, 7, 12]), 21, 96)))
-        for p in pitches:
-            a = int(t * sr)
-            d = min(int(dur * sr), n - a)
-            if d <= 0:
-                continue
-            seg = np.arange(d) / sr
-            f = 440.0 * 2 ** ((p - 69) / 12)
-            amp = float(rng.uniform(0.15, 0.35))
-            if timbre == "sine":
-                tone = np.sin(2 * np.pi * f * seg) * np.exp(-seg * rng.uniform(0.5, 3.0) / dur)
-            elif timbre == "tone":
-                tone = _tone(f, seg, decay=2.5 / dur)
-            else:
-                tone = _pluck(f, seg, rng, decay=2.0 / dur)
-            y[a : a + d] += amp * tone
-            events.append((t, t + dur, p))
+        # re-articulation: strummed/fingerpicked chords repeat the SAME
+        # pitch set every few hundred ms, each strum a separate labeled
+        # event — the onset head must spike for re-struck pitches whose
+        # frame posterior never drops (the golden WAV's dominant failure
+        # mode before this existed: whole re-strums went undetected)
+        n_strums = int(rng.choice([1, 1, 2, 3, 4]))
+        gap = float(rng.uniform(0.3, 0.8))
+        for s_i in range(n_strums):
+            ts = t + s_i * gap
+            if ts >= duration_s - 0.1:
+                break
+            for p in pitches:
+                a = int(ts * sr)
+                d = min(int(dur * sr), n - a)
+                if d <= 0:
+                    continue
+                seg = np.arange(d) / sr
+                f = 440.0 * 2 ** ((p - 69) / 12)
+                amp = float(rng.uniform(0.15, 0.35))
+                if timbre == "sine":
+                    tone = np.sin(2 * np.pi * f * seg) * np.exp(-seg * rng.uniform(0.5, 3.0) / dur)
+                elif timbre == "tone":
+                    tone = _tone(f, seg, decay=2.5 / dur)
+                else:
+                    tone = _pluck(f, seg, rng, decay=2.0 / dur)
+                y[a : a + d] += amp * tone
+                events.append((ts, ts + dur, p))
+        t += n_strums * gap if n_strums > 1 else 0.0
         t += float(rng.uniform(0.25, 0.8))
         if rng.uniform() < 0.15:  # occasional timbre change mid-clip
             timbre = rng.choice(["sine", "tone", "pluck"])
