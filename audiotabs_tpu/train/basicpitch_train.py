@@ -191,6 +191,10 @@ def train(
     if f_cnn > f_sal and ok_tone and ratchet_ok:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
         np.savez(out_path, **{k: np.asarray(v) for k, v in params.items()})
+        # the ratchet loaded the OLD checkpoint through the lru-cached
+        # loader just before this overwrite — drop the stale entry so any
+        # later load in this process sees the file we just wrote
+        bp._load_params_cached.cache_clear()
         print(f"saved {out_path}", flush=True)
     else:
         print("NOT saved: CNN fails an acceptance gate", flush=True)
@@ -231,17 +235,14 @@ def _golden_note_recall(params) -> float | None:
     enforces downstream."""
     import csv
 
-    golden = Path("/root/reference/data/jobs/c34b660dfb454be486983b1913bab38c")
-    csv_path = golden / "out" / "note_events.csv"
-    if not csv_path.exists():
-        return None
-    from ..io import load_wav, peak_normalize, resample_poly_host
-    from ..ops.hpss import hpss
+    from .golden import GOLDEN_DIR as golden
+    from .golden import golden_audio, golden_available
 
-    yg, srg = load_wav(golden / "input" / "upload.wav")
-    yg = resample_poly_host(peak_normalize(yg), srg, SR)
-    y_harm = hpss(jnp.asarray(yg))[0]
-    onset, frame = bp.cnn_apply(params, bp.hcqt(y_harm, SR))[:2]
+    csv_path = golden / "out" / "note_events.csv"
+    if not golden_available("note_events.csv"):
+        return None
+    _y, y_harm, _yp = golden_audio()
+    onset, frame = bp.cnn_apply(params, bp.hcqt(jnp.asarray(y_harm), SR))[:2]
     est = decode_events(onset, frame)
     ref = [
         (float(r["start_time_s"]), int(r["pitch_midi"]))
@@ -268,14 +269,11 @@ def _golden_chord_parity(params):
         return None, True
     from ..chords.extract import CHROMA_FPS, salience_chroma
     from ..chords.segments import frames_to_segments
-    from ..io import load_wav, peak_normalize, resample_poly_host
     from ..models import crf_chords
-    from ..ops.hpss import hpss
+    from .golden import golden_audio
 
-    yg, srg = load_wav(golden / "input" / "upload.wav")
-    yg = resample_poly_host(peak_normalize(yg), srg, SR)
-    y_harm = hpss(jnp.asarray(yg))[0]
-    _on, frame_post = bp.cnn_apply(params, bp.hcqt(y_harm, SR))[:2]
+    yg, y_harm, _yp = golden_audio()
+    _on, frame_post = bp.cnn_apply(params, bp.hcqt(jnp.asarray(y_harm), SR))[:2]
     t_ch = yg.shape[-1] // int(round(SR / CHROMA_FPS)) + 1
     chroma = salience_chroma(frame_post, t_ch)
     chroma_n = chroma / (jnp.linalg.norm(chroma, axis=0, keepdims=True) + 1e-9)

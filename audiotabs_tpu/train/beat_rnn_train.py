@@ -147,12 +147,10 @@ def train(
     if (golden / "out" / "beat_times.json").exists():
         import json
 
-        from ..io import load_wav, peak_normalize, resample_poly_host
-        from ..ops.hpss import hpss
+        from .golden import golden_audio
 
-        yg, srg = load_wav(golden / "input" / "upload.wav")
-        yg = resample_poly_host(peak_normalize(yg), srg, 22050)
-        yp = jnp.asarray(np.asarray(hpss(jnp.asarray(yg))[1]))
+        _y, _yh, yp_np = golden_audio()
+        yp = jnp.asarray(yp_np)
         ref_beats = np.asarray(
             json.loads((golden / "out" / "beat_times.json").read_text())["beat_times_raw_s"]
         )

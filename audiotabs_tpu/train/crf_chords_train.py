@@ -41,11 +41,23 @@ FPS = 10
 
 
 def _dnn_chroma(yh, dc_params) -> np.ndarray:
-    """[T, 12] per-frame-normalized production CRF features."""
+    """[T, 12] production CRF features: DNN chroma, per-frame L2-normalized,
+    with the SAME silence gate runtime/fused.py 4b' applies (near-silent
+    frames zeroed). Training must see gated features — and emit_b stays
+    zero — so the production contract "zero features → uniform emissions →
+    Viterbi extends the neighbor" survives a trained checkpoint."""
+    from ..ops.features import rms
+
     feats = dc.features(jnp.asarray(yh), SR)
     ch = np.asarray(dc.apply(dc_params, feats))  # [T, 12]
     norm = np.linalg.norm(ch, axis=1, keepdims=True)
-    return ch / np.maximum(norm, 1e-9)
+    ch = ch / np.maximum(norm, 1e-9)
+    hop = SR // FPS
+    energy = np.asarray(rms(jnp.asarray(yh), frame_length=2048, hop=hop))
+    energy = energy / (energy.max() + 1e-9)
+    n = min(len(energy), len(ch))
+    ch[:n] *= (energy[:n] > 0.05).astype(np.float32)[:, None]
+    return ch
 
 
 def _state_labels(labels, n_frames: int) -> np.ndarray:
@@ -63,7 +75,7 @@ def build_dataset(n_clips: int, seed: int, dc_params):
     from .synth import synth_chord_clip
 
     rng = np.random.default_rng(seed)
-    X, Y, seqs = [], [], []
+    X, Y = [], []
     for _ in range(n_clips):
         y, labels = synth_chord_clip(rng, CLIP_S, SR)
         yh = np.asarray(hpss(jnp.asarray(y))[0])
@@ -71,8 +83,9 @@ def build_dataset(n_clips: int, seed: int, dc_params):
         st = _state_labels(labels, ch.shape[0])
         X.append(ch)
         Y.append(st)
-        seqs.append(st)
-    return np.concatenate(X), np.concatenate(Y), seqs
+    # per-clip lists: the evaluator must never splice Viterbi sequences
+    # across clip boundaries (frame counts are 1 + T//hop, NOT CLIP_S*FPS)
+    return X, Y
 
 
 def _transitions_from_bigrams(seqs, alpha: float = 1.0) -> np.ndarray:
@@ -96,18 +109,16 @@ def _golden_gate(params):
     """Production decode on the golden WAV: (overlap, progression_ok)."""
     import json
 
-    golden = Path("/root/reference/data/jobs/c34b660dfb454be486983b1913bab38c")
-    if not (golden / "out" / "chords.json").exists():
+    from .golden import GOLDEN_DIR as golden
+    from .golden import golden_audio, golden_available
+
+    if not golden_available("chords.json", "beat_times.json"):
         return None, True
     from ..chords.extract import CHROMA_FPS
     from ..chords.segments import beat_sync_majority, frames_to_segments
-    from ..io import load_wav, peak_normalize, resample_poly_host
-    from ..ops.hpss import hpss
 
     dc_params = dc.load_params()
-    yg, srg = load_wav(golden / "input" / "upload.wav")
-    yg = resample_poly_host(peak_normalize(yg), srg, SR)
-    yh = np.asarray(hpss(jnp.asarray(yg))[0])
+    _y, yh, _yp = golden_audio()
     ch = _dnn_chroma(yh, dc_params)
     path, conf = cc.decode(params, jnp.asarray(ch))
     path_np, conf_np = np.asarray(path).copy(), np.asarray(conf)
@@ -149,47 +160,48 @@ def train(
     if dc_params is None:
         print("DeepChroma weights required (the CRF's production features)", flush=True)
         return {}
-    X, Y, seqs = build_dataset(n_clips, seed, dc_params)
+    X_clips, Y_clips = build_dataset(n_clips, seed, dc_params)
+    X = np.concatenate(X_clips)
+    Y = np.concatenate(Y_clips)
     print(f"dataset: {X.shape} frames ({time.time()-t0:.0f}s)", flush=True)
 
+    # emit_b stays ZERO: the production silence/true_len gate zeroes feature
+    # rows and relies on 0 @ w + b being uniform so Viterbi extends the
+    # neighboring chord; a learned bias would decode gated frames to
+    # argmax(b) instead
     emit_w = jnp.asarray(np.zeros((12, cc.N_STATES), np.float32))
-    emit_b = jnp.zeros((cc.N_STATES,))
     sched = optax.cosine_decay_schedule(5e-2, steps, alpha=0.05)
     opt = optax.adam(sched)
-    opt_state = opt.init((emit_w, emit_b))
+    opt_state = opt.init(emit_w)
 
-    def loss_fn(wb, xb, yb):
-        w, b = wb
-        logp = jax.nn.log_softmax(xb @ w + b, axis=-1)
+    def loss_fn(w, xb, yb):
+        logp = jax.nn.log_softmax(xb @ w, axis=-1)
         return -logp[jnp.arange(xb.shape[0]), yb].mean()
 
     @jax.jit
-    def update(wb, o, xb, yb):
-        loss, grads = jax.value_and_grad(loss_fn)(wb, xb, yb)
+    def update(w, o, xb, yb):
+        loss, grads = jax.value_and_grad(loss_fn)(w, xb, yb)
         updates, o = opt.update(grads, o)
-        return optax.apply_updates(wb, updates), o, loss
+        return optax.apply_updates(w, updates), o, loss
 
     rng = np.random.default_rng(seed)
-    wb = (emit_w, emit_b)
+    w = emit_w
     for step in range(steps):
         sel = rng.integers(0, X.shape[0], size=batch)
-        wb, opt_state, loss = update(wb, opt_state, jnp.asarray(X[sel]), jnp.asarray(Y[sel]))
+        w, opt_state, loss = update(w, opt_state, jnp.asarray(X[sel]), jnp.asarray(Y[sel]))
         if step % 500 == 0 or step == steps - 1:
             print(f"step {step}: loss {float(loss):.4f} ({time.time()-t0:.0f}s)", flush=True)
 
-    trans = _transitions_from_bigrams(seqs)
+    trans = _transitions_from_bigrams(Y_clips)
     trained = {
-        "emit_w": np.asarray(wb[0]),
-        "emit_b": np.asarray(wb[1]),
+        "emit_w": np.asarray(w),
+        "emit_b": np.zeros((cc.N_STATES,), np.float32),
         "transitions": trans,
         "initial": np.full((cc.N_STATES,), -np.log(cc.N_STATES), np.float32),
     }
 
     # ---- held-out eval vs the analytic template emissions ----
-    Xv_flat, Yv_flat, _ = build_dataset(10, seed + 33_000, dc_params)
-    nf = int(CLIP_S * FPS)
-    Xv = [Xv_flat[i * nf : (i + 1) * nf] for i in range(len(Xv_flat) // nf)]
-    Yv = [Yv_flat[i * nf : (i + 1) * nf] for i in range(len(Yv_flat) // nf)]
+    Xv, Yv = build_dataset(10, seed + 33_000, dc_params)
     acc_tr = _decode_accuracy(trained, Xv, Yv)
     acc_tmpl = _decode_accuracy(cc.template_emission_params(), Xv, Yv)
     print(f"val frame accuracy: trained {acc_tr:.3f} vs template {acc_tmpl:.3f}", flush=True)

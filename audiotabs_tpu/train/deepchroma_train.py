@@ -223,13 +223,10 @@ def _golden_gate(dnn_chroma):
         return None, True
     from ..chords.extract import CHROMA_FPS
     from ..chords.segments import frames_to_segments
-    from ..io import load_wav, peak_normalize, resample_poly_host
     from ..models import crf_chords
-    from ..ops.hpss import hpss
+    from .golden import golden_audio
 
-    yg, srg = load_wav(golden / "input" / "upload.wav")
-    yg = resample_poly_host(peak_normalize(yg), srg, SR)
-    yh = np.asarray(hpss(jnp.asarray(yg))[0])
+    yg, yh, _yp = golden_audio()
     t_ch = len(yg) // int(round(SR / CHROMA_FPS)) + 1
     chroma = dnn_chroma(yh, t_ch)
     chroma = chroma / (np.linalg.norm(chroma, axis=0, keepdims=True) + 1e-9)

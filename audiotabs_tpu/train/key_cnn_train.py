@@ -156,15 +156,11 @@ def train(
 
 
 def _golden_key_ok(params) -> bool:
-    golden = Path("/root/reference/data/jobs/c34b660dfb454be486983b1913bab38c")
-    if not (golden / "input" / "upload.wav").exists():
-        return True
-    from ..io import load_wav, peak_normalize, resample_poly_host
-    from ..ops.hpss import hpss
+    from .golden import golden_audio, golden_available
 
-    yg, srg = load_wav(golden / "input" / "upload.wav")
-    yg = resample_poly_host(peak_normalize(yg), srg, SR)
-    yh = np.asarray(hpss(jnp.asarray(yg))[0])
+    if not golden_available():
+        return True
+    _y, yh, _yp = golden_audio()
     probs = np.asarray(kc.apply(params, kc.features(jnp.asarray(yh), SR)))
     label = kc.key_prediction_to_label(probs)
     top3 = np.argsort(probs)[::-1][:3]
