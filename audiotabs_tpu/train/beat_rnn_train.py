@@ -174,7 +174,7 @@ def train(
             )
             ep_loss += float(loss)
         line = f"epoch {epoch}: loss {ep_loss/steps_per_epoch:.4f}"
-        if epoch % 3 == 2 or epoch == epochs - 1:
+        if epoch % 2 == 0 or epoch == epochs - 1:
             vf = eval_f(blstm_act_for(params))
             gf = golden_eval(blstm_act_for(params)) if golden_eval else None
             snapshots.append((epoch, vf, gf, jax.tree.map(lambda a: a, params)))

@@ -105,10 +105,10 @@ def test_golden_beat_f_measure(golden_available, golden_run):
     our_beats = np.asarray(ours["raw_beat_times"], dtype=np.float64)
     assert our_beats.size
     f = beat_f_measure(our_beats, ref_beats, tol=0.07)
-    # trained-BLSTM operating point ≈ 0.69 (was 0.56 with the DSP flux
+    # trained-BLSTM operating point ≈ 0.71 (was 0.56 with the DSP flux
     # activation); the gate protects against regression and ratchets up
     # as the beat front end improves further
-    assert f >= 0.60, f
+    assert f >= 0.65, f
 
 
 @pytest.mark.slow
