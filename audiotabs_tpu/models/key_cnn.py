@@ -121,8 +121,17 @@ def load_params(path: str | None = None) -> dict | None:
     # a checkpoint from the old global-pooled head ((32, 24) out_w) would
     # shape-error at fused-program trace time and take down EVERY device
     # stage with it; reject it here so only the key estimate falls back
+    from .deepchroma import N_BANDS
+
     ow = params.get("out_w")
-    if ow is None or ow.ndim != 2 or ow.shape != ((120 // 4) * 32, N_CLASSES):
+    if ow is None or ow.ndim != 2 or ow.shape != ((N_BANDS // 4) * 32, N_CLASSES):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "key_cnn checkpoint %s rejected: out_w shape %s != %s; "
+            "falling back to Krumhansl key estimation",
+            path, None if ow is None else ow.shape, ((N_BANDS // 4) * 32, N_CLASSES),
+        )
         _PARAMS_CACHE[path] = None
         return None
     _PARAMS_CACHE[path] = params

@@ -206,7 +206,7 @@ def transcribe_batch(
     t_load = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    feats = batched_fused_analysis(batch, sr, mesh)
+    feats = batched_fused_analysis(batch, sr, mesh, true_lens=true_lens)
     _cfg, _params, batch_stem_source = _resolve_separation(config.settings, sr)
     t_device = time.perf_counter() - t0
 

@@ -52,6 +52,49 @@ def test_batch_transcription_sharded(song_files, tmp_path, monkeypatch):
     assert len(roots) >= 3
 
 
+def test_batch_vs_single_parity_wrap_padded(tmp_path, monkeypatch):
+    """The batch path must forward true lengths so wrap-padded tails don't
+    change the key/chords vs the single-song path (advisor round-2 medium:
+    transcribe_batch used to drop the true_lens it computed)."""
+    monkeypatch.setenv("TRANSCRIPTION_MODE", "notes")
+    monkeypatch.setenv("PAD_SECONDS_BUCKET", "2")
+    monkeypatch.setenv("HTDEMUCS_WEIGHTS", "off")
+    from audiotabs_tpu.config import reload_settings
+
+    reload_settings()
+    from audiotabs_tpu.parallel.mesh import make_mesh
+    from audiotabs_tpu.runtime.batch_runner import transcribe_batch
+    from audiotabs_tpu.runtime.pipeline import run_pipeline
+
+    # 3 s G-major arpeggio: padded to the 4 s bucket, so 1 s of wrap-padded
+    # tail exists for the masks to ignore
+    sr = 22050
+    t = np.arange(3 * sr) / sr
+    y = np.zeros(3 * sr, dtype=np.float32)
+    rng = np.random.default_rng(7)
+    for k, p in enumerate([55, 59, 62, 67, 62, 59] * 2):
+        s0 = int(k * 0.25 * sr)
+        seg = np.arange(int(0.25 * sr)) / sr
+        f = 440.0 * 2 ** ((p - 69) / 12)
+        y[s0 : s0 + len(seg)] += (0.35 * np.sin(2 * np.pi * f * seg)).astype(np.float32)
+        y[s0 : s0 + 300] += 0.2 * rng.standard_normal(300).astype(np.float32)
+    wav = tmp_path / "gmaj.wav"
+    write_wav(wav, y, sr)
+
+    mesh = make_mesh((8,), ("data",))
+    (batch_result,) = transcribe_batch([wav], tmp_path / "batch", mesh=mesh)
+
+    job_dir = tmp_path / "jobs" / "single"
+    for sub in ("input", "work", "out"):
+        (job_dir / sub).mkdir(parents=True)
+    single_result = run_pipeline(job_dir, wav)
+
+    assert batch_result.key_signature == single_result.key_signature
+    assert [c.label for c in batch_result.chords] == [
+        c.label for c in single_result.chords
+    ]
+
+
 @pytest.mark.slow
 def test_batch_64_songs_config5_scale(tmp_path, monkeypatch):
     """BASELINE config 5 shape: 64 songs through ONE sharded program on the
