@@ -184,40 +184,44 @@ def blstm_apply_chunked(params: dict, feats, window: int = 256, margin: int = 32
     return out[:T]
 
 
-def save_params(path: str, params: dict) -> None:
-    """Save BLSTM weights as a flat npz (inverse of load_params)."""
+def _flatten(params: dict, prefix: str = "") -> dict:
     flat = {}
     for i, layer in enumerate(params["layers"]):
         for d in ("fwd", "bwd"):
             for k in ("W", "U", "b"):
-                flat[f"l{i}_{d}_{k}"] = np.asarray(layer[d][k])
-    flat["out_w"] = np.asarray(params["out_w"])
-    flat["out_b"] = np.asarray(params["out_b"])
+                flat[f"{prefix}l{i}_{d}_{k}"] = np.asarray(layer[d][k])
+    flat[f"{prefix}out_w"] = np.asarray(params["out_w"])
+    flat[f"{prefix}out_b"] = np.asarray(params["out_b"])
     for k in ("feat_mean", "feat_std"):
         if k in params:
-            flat[k] = np.asarray(params[k])
+            flat[f"{prefix}{k}"] = np.asarray(params[k])
+    return flat
+
+
+def save_params(path: str, params: dict) -> None:
+    """Save BLSTM weights as a flat npz (inverse of load_params). An
+    "ensemble" list of extra member pytrees is saved under m1_/m2_/…
+    prefixes (madmom's RNNBeatProcessor averages 8 such nets —
+    reference grid/beats.py:71-82)."""
+    flat = _flatten(params)
+    for j, member in enumerate(params.get("ensemble", []), start=1):
+        flat.update(_flatten(member, prefix=f"m{j}_"))
     np.savez(path, **flat)
 
 
-def load_params(path: str) -> dict | None:
-    """Load trained/converted BLSTM weights (npz pytree). None if absent."""
-    import os
-
-    if not path or not os.path.exists(path):
-        return None
-    data = np.load(path)  # flat npz of arrays — no pickle needed (or allowed)
+def _unflatten(data, prefix: str = "") -> dict | None:
     layers = []
     i = 0
-    while f"l{i}_fwd_W" in data:
+    while f"{prefix}l{i}_fwd_W" in data:
         layers.append(
             {
                 d: {
                     # numpy on purpose: load can happen at trace time, and
                     # jnp arrays created inside a trace would leak tracers
                     # into this cached pytree
-                    "W": np.asarray(data[f"l{i}_{d}_W"]),
-                    "U": np.asarray(data[f"l{i}_{d}_U"]),
-                    "b": np.asarray(data[f"l{i}_{d}_b"]),
+                    "W": np.asarray(data[f"{prefix}l{i}_{d}_W"]),
+                    "U": np.asarray(data[f"{prefix}l{i}_{d}_U"]),
+                    "b": np.asarray(data[f"{prefix}l{i}_{d}_b"]),
                 }
                 for d in ("fwd", "bwd")
             }
@@ -225,10 +229,36 @@ def load_params(path: str) -> dict | None:
         i += 1
     if not layers:
         return None
-    out = {"layers": layers, "out_w": np.asarray(data["out_w"]), "out_b": np.asarray(data["out_b"])}
+    out = {
+        "layers": layers,
+        "out_w": np.asarray(data[f"{prefix}out_w"]),
+        "out_b": np.asarray(data[f"{prefix}out_b"]),
+    }
     for k in ("feat_mean", "feat_std"):
-        if k in data.files:
-            out[k] = np.asarray(data[k])
+        if f"{prefix}{k}" in data.files:
+            out[k] = np.asarray(data[f"{prefix}{k}"])
+    return out
+
+
+def load_params(path: str) -> dict | None:
+    """Load trained/converted BLSTM weights (npz pytree). None if absent.
+    Extra ensemble members (m1_/m2_/… prefixes) load into an "ensemble"
+    list consumed by beat_activation's averaging."""
+    import os
+
+    if not path or not os.path.exists(path):
+        return None
+    data = np.load(path)  # flat npz of arrays — no pickle needed (or allowed)
+    out = _unflatten(data)
+    if out is None:
+        return None
+    members = []
+    j = 1
+    while f"m{j}_l0_fwd_W" in data:
+        members.append(_unflatten(data, prefix=f"m{j}_"))
+        j += 1
+    if members:
+        out["ensemble"] = members
     return out
 
 
@@ -296,9 +326,22 @@ def trained_params() -> dict | None:
 
 def beat_activation(y, sr: int, fps: int = FPS_DEFAULT, params: dict | None = None):
     """Beat activation [T]: trained BLSTM when weights exist, else DSP flux
-    (the madmom RNN-vs-spectral-flux duality, reference grid/beats.py:71-82)."""
+    (the madmom RNN-vs-spectral-flux duality, reference grid/beats.py:71-82).
+
+    A checkpoint with extra "ensemble" members averages all members'
+    activations, madmom-style (RNNBeatProcessor averages 8 BLSTMs): the
+    members share shapes, so they run as ONE vmapped forward over a stacked
+    parameter pytree — an ensemble costs one batched pass, not N passes."""
     p = params if params is not None else trained_params()
     if p is not None:
         feats = spectral_features(y, sr, fps)
-        return blstm_apply_chunked(p, feats)
+        members = [
+            {k: v for k, v in p.items() if k != "ensemble"},
+            *p.get("ensemble", []),
+        ]
+        if len(members) == 1:
+            return blstm_apply_chunked(p, feats)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+        acts = jax.vmap(lambda m: blstm_apply_chunked(m, feats))(stacked)
+        return acts.mean(axis=0)
     return onset_activation(y, sr, fps)

@@ -689,7 +689,16 @@ def _pipeline_tail(
                 chords, tempo_bpm=tempo_bpm, beat_times=norm_beats, title=job_id, key_signature=key_sig
             )
             (out / "score.ly").write_text(ly)
-            render_lilypond_pdf(out / "score.ly", out / "score.pdf")
+            if not render_lilypond_pdf(out / "score.ly", out / "score.pdf"):
+                # no lilypond binary: the dependency-free engraver keeps the
+                # artifact contract's score.pdf (reference golden jobs ship
+                # one; engraving/lilypond.py:318-336)
+                from ..score.pdfwriter import render_pdf_lead_sheet
+
+                render_pdf_lead_sheet(
+                    out / "score.pdf", chords, tempo_bpm=tempo_bpm,
+                    beat_times=norm_beats, title=job_id, key_signature=key_sig,
+                )
         except Exception as exc:
             errors.append(f"lilypond: {exc}")
 

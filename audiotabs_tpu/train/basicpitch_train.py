@@ -73,13 +73,20 @@ def rolls_from_events(events, n_frames: int) -> tuple[np.ndarray, np.ndarray, np
 from ..analysis.metrics import note_f_measure  # shared with the CI gates
 
 
-def build_clips(n: int, seed: int):
-    from .synth import synth_note_clip
+def build_clips(n: int, seed: int, voicing_frac: float = 0.5):
+    """Half the clips are REAL guitar voicings (open-chord shapes strummed
+    or fingerpicked, 4-6 way polyphony — synth_guitar_voicing_clip); the
+    rest keep the varied-timbre note clips. The golden WAV is strummed
+    chords, exactly the regime the note-clip generator underweights."""
+    from .synth import synth_guitar_voicing_clip, synth_note_clip
 
     rng = np.random.default_rng(seed)
     clips = []
     for _ in range(n):
-        y, events = synth_note_clip(rng, CLIP_S, SR, polyphony=3)
+        if rng.uniform() < voicing_frac:
+            y, events = synth_guitar_voicing_clip(rng, CLIP_S, SR)
+        else:
+            y, events = synth_note_clip(rng, CLIP_S, SR, polyphony=3)
         clips.append((y, events))
     return clips
 

@@ -1,19 +1,23 @@
-"""Train the beat BLSTM (models/beat_rnn.py) on synthetic labeled clips.
+"""Train the beat BLSTM ensemble (models/beat_rnn.py) on synthetic clips.
 
-The reference uses madmom's pretrained BLSTM ensemble (reference:
-backend/app/services/grid/beats.py:71-82); its checkpoints don't exist in
-this environment, so the same topology is trained here on synthesized
-music with exactly-known beat grids (train/synth.py). Training runs on
-whatever backend JAX resolves (the TPU via one jitted update step; CPU
-works too, just slower).
+The reference uses madmom's pretrained 8-BLSTM ensemble averaged into one
+activation (reference: backend/app/services/grid/beats.py:71-82); those
+checkpoints don't exist in this environment, so the same topology is
+trained here on synthesized music with exactly-known beat grids
+(train/synth.py — tempo drift, swing, fills, legato, fingerpicking).
+``--ensemble N`` trains N members on independently drawn datasets and
+different inits, then ships ONE checkpoint whose members are averaged at
+inference (beat_rnn.beat_activation runs them as one vmapped pass).
+
+Save gates: the ENSEMBLE's held-out F must beat the DSP spectral-flux
+baseline, its golden-WAV F (production HPSS-percussive input, madmom's own
+beats as oracle) must beat the DSP baseline AND never regress the existing
+checkpoint (ratchet).
 
 Usage:
     python -m audiotabs_tpu.train.beat_rnn_train \
-        [--clips 48] [--epochs 24] [--out audiotabs_tpu/weights/beat_rnn.npz]
-
-The trained checkpoint is saved ONLY if it beats the DSP spectral-flux
-baseline's beat F-measure on held-out clips — the production default
-changes only when the learned model is measurably better.
+        [--clips 48] [--epochs 24] [--ensemble 3] \
+        [--out audiotabs_tpu/weights/beat_rnn.npz]
 """
 
 from __future__ import annotations
@@ -80,26 +84,30 @@ def windows(X: np.ndarray, Y: np.ndarray, hop: int = 128):
     return np.stack(xs), np.stack(ys)
 
 
-def train(
-    n_clips: int = 48,
-    epochs: int = 24,
-    batch: int = 32,
-    seed: int = 0,
-    out_path: str = "audiotabs_tpu/weights/beat_rnn.npz",
-    hidden: int = 25,
-) -> dict:
-    t0 = time.time()
-    X, Y, _ = build_dataset(n_clips, seed)
-    Xv, Yv, val_clips = build_dataset(8, seed + 10_000)
-    print(f"dataset: {X.shape} train, {Xv.shape} val ({time.time()-t0:.0f}s)", flush=True)
+def _act_for(p):
+    """Production activation fn for a params pytree (averages members)."""
+    return lambda y: beat_rnn.beat_activation(y, 22050, FPS, params=p)
 
+
+def _train_member(
+    member_seed: int,
+    n_clips: int,
+    epochs: int,
+    batch: int,
+    hidden: int,
+    eval_f,
+    golden_eval,
+    t0: float,
+):
+    """Train ONE BLSTM on its own dataset draw; snapshot-select on the
+    golden oracle (late epochs overfit synthetic timbres). → params."""
+    X, Y, _ = build_dataset(n_clips, member_seed)
     mean = X.reshape(-1, X.shape[-1]).mean(axis=0)
     std = X.reshape(-1, X.shape[-1]).std(axis=0) + 1e-3
-
     Xw, Yw = windows(X, Y)
-    print(f"windows: {Xw.shape}", flush=True)
+    print(f"  member seed {member_seed}: windows {Xw.shape} ({time.time()-t0:.0f}s)", flush=True)
 
-    rng = jax.random.PRNGKey(seed)
+    rng = jax.random.PRNGKey(member_seed)
     params = beat_rnn.init_params(rng, input_dim=X.shape[-1], hidden=hidden)
     params["feat_mean"] = jnp.asarray(mean)
     params["feat_std"] = jnp.asarray(std)
@@ -126,7 +134,53 @@ def train(
         updates, o = opt.update(grads, o)
         return optax.apply_updates(p, updates), o, loss
 
-    # ---- evaluation helpers: DBN F-measure, BLSTM vs DSP ----
+    np_rng = np.random.default_rng(member_seed)
+    snapshots = []  # (epoch, val_f, golden_f, params)
+    for epoch in range(epochs):
+        order = np_rng.permutation(Xw.shape[0])
+        ep_loss = 0.0
+        for b in range(steps_per_epoch):
+            sel = order[b * batch : (b + 1) * batch]
+            if len(sel) < batch:  # keep ONE compiled shape
+                sel = np.concatenate([sel, order[: batch - len(sel)]])
+            params, opt_state, loss = update(
+                params, opt_state, jnp.asarray(Xw[sel]), jnp.asarray(Yw[sel])
+            )
+            ep_loss += float(loss)
+        line = f"  epoch {epoch}: loss {ep_loss/steps_per_epoch:.4f}"
+        if epoch % 2 == 0 or epoch == epochs - 1:
+            vf = eval_f(_act_for(params))
+            gf = golden_eval(_act_for(params)) if golden_eval else None
+            snapshots.append((epoch, vf, gf, jax.tree.map(lambda a: a, params)))
+            line += f"  val F {vf:.3f}" + (f"  golden F {gf:.3f}" if gf is not None else "")
+        print(line + f" ({time.time()-t0:.0f}s)", flush=True)
+
+    viable = [s for s in snapshots if s[1] >= 0.85] or snapshots
+    epoch_b, vf, gf, best = max(
+        viable, key=lambda s: (s[2] if s[2] is not None else s[1], s[1])
+    )
+    print(
+        f"  selected epoch {epoch_b}: val F {vf:.3f}"
+        + (f", golden F {gf:.3f}" if gf is not None else ""),
+        flush=True,
+    )
+    return best
+
+
+def train(
+    n_clips: int = 48,
+    epochs: int = 24,
+    batch: int = 32,
+    seed: int = 0,
+    out_path: str = "audiotabs_tpu/weights/beat_rnn.npz",
+    hidden: int = 25,
+    ensemble: int = 3,
+) -> dict:
+    t0 = time.time()
+    Xv, Yv, val_clips = build_dataset(8, seed + 10_000)
+    print(f"val dataset: {Xv.shape} ({time.time()-t0:.0f}s)", flush=True)
+
+    # ---- evaluation helpers: DBN F-measure on the activation fn ----
     def eval_f(act_fn) -> float:
         fs = []
         for y, beats in val_clips:
@@ -134,11 +188,6 @@ def train(
             est = dbn_beat_track(act.astype(np.float32), fps=FPS)
             fs.append(f_measure(np.asarray(est), beats))
         return float(np.mean(fs))
-
-    def blstm_act_for(p):
-        return lambda y: beat_rnn.blstm_apply_chunked(
-            p, beat_rnn.spectral_features(y, 22050, FPS), WINDOW, MARGIN
-        )
 
     # golden WAV: the production path feeds the BLSTM the HPSS percussive
     # component; madmom's own beat output is the oracle
@@ -160,56 +209,46 @@ def train(
             est = np.asarray(dbn_beat_track(act, fps=FPS))
             return f_measure(est, ref_beats)
 
-    np_rng = np.random.default_rng(seed)
-    snapshots = []  # (epoch, val_f, golden_f, params)
-    for epoch in range(epochs):
-        order = np_rng.permutation(Xw.shape[0])
-        ep_loss = 0.0
-        for b in range(steps_per_epoch):
-            sel = order[b * batch : (b + 1) * batch]
-            if len(sel) < batch:  # keep ONE compiled shape
-                sel = np.concatenate([sel, order[: batch - len(sel)]])
-            params, opt_state, loss = update(
-                params, opt_state, jnp.asarray(Xw[sel]), jnp.asarray(Yw[sel])
+    members = []
+    for j in range(max(1, ensemble)):
+        print(f"member {j + 1}/{ensemble}:", flush=True)
+        members.append(
+            _train_member(
+                seed + 101 * j, n_clips, epochs, batch, hidden, eval_f, golden_eval, t0
             )
-            ep_loss += float(loss)
-        line = f"epoch {epoch}: loss {ep_loss/steps_per_epoch:.4f}"
-        if epoch % 2 == 0 or epoch == epochs - 1:
-            vf = eval_f(blstm_act_for(params))
-            gf = golden_eval(blstm_act_for(params)) if golden_eval else None
-            snapshots.append((epoch, vf, gf, jax.tree.map(lambda a: a, params)))
-            line += f"  val F {vf:.3f}" + (f"  golden F {gf:.3f}" if gf is not None else "")
-        print(line + f" ({time.time()-t0:.0f}s)", flush=True)
+        )
 
+    combined = dict(members[0])
+    if len(members) > 1:
+        combined["ensemble"] = members[1:]
+
+    f_ens = eval_f(_act_for(combined))
+    g_ens = golden_eval(_act_for(combined)) if golden_eval else None
     f_dsp = eval_f(lambda y: beat_rnn.onset_activation(y, 22050, FPS))
     g_dsp = golden_eval(lambda y: beat_rnn.onset_activation(y, 22050, FPS)) if golden_eval else None
-
-    # model selection: among snapshots with healthy synthetic-val F, prefer
-    # the one generalizing best to the real-audio golden oracle (late
-    # epochs overfit the synthetic timbres)
-    viable = [s for s in snapshots if s[1] >= 0.85] or snapshots
-    epoch_b, f_blstm, g_blstm, params = max(
-        viable, key=lambda s: (s[2] if s[2] is not None else s[1], s[1])
-    )
     print(
-        f"selected epoch {epoch_b}: val F {f_blstm:.3f} (DSP {f_dsp:.3f})"
-        + (f", golden F {g_blstm:.3f} (DSP {g_dsp:.3f})" if g_blstm is not None else ""),
+        f"ENSEMBLE ({len(members)}): val F {f_ens:.3f} (DSP {f_dsp:.3f})"
+        + (f", golden F {g_ens:.3f} (DSP {g_dsp:.3f})" if g_ens is not None else ""),
         flush=True,
     )
 
-    better_on_golden = g_blstm is None or g_blstm >= g_dsp
-    # ratchet: never overwrite an existing checkpoint that scores higher on
-    # the golden oracle than the candidate
+    better_on_golden = g_ens is None or g_ens >= g_dsp
+    # ratchet: never overwrite an existing checkpoint (single OR ensemble)
+    # that scores higher on the golden oracle than the candidate
     if better_on_golden and golden_eval is not None and Path(out_path).exists():
         old = beat_rnn.load_params(out_path)
         if old is not None:
-            g_old = golden_eval(blstm_act_for(old))
+            g_old = golden_eval(_act_for(old))
             print(f"existing checkpoint golden F {g_old:.3f}", flush=True)
-            better_on_golden = g_blstm >= g_old - 1e-6
-    if f_blstm >= min(f_dsp, 0.95) and better_on_golden and f_blstm > 0.85:
+            better_on_golden = g_ens >= g_old - 1e-6
+    if f_ens >= min(f_dsp, 0.95) and better_on_golden and f_ens > 0.85:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
-        beat_rnn.save_params(out_path, params)
-        print(f"saved {out_path}", flush=True)
+        beat_rnn.save_params(out_path, combined)
+        # invalidate the lazy production cache so later loads in this
+        # process see the file just written
+        beat_rnn._TRAINED = None
+        beat_rnn._TRAINED_CHECKED = False
+        print(f"saved {out_path} ({len(members)} members)", flush=True)
     else:
         print(
             "NOT saved: candidate does not beat the DSP baseline and the "
@@ -217,8 +256,8 @@ def train(
             flush=True,
         )
     return {
-        "f_blstm": f_blstm, "f_dsp": f_dsp,
-        "g_blstm": g_blstm, "g_dsp": g_dsp, "params": params,
+        "f_ens": f_ens, "f_dsp": f_dsp,
+        "g_ens": g_ens, "g_dsp": g_dsp, "params": combined,
     }
 
 
@@ -229,10 +268,12 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--hidden", type=int, default=25)
+    ap.add_argument("--ensemble", type=int, default=3)
     ap.add_argument("--out", default="audiotabs_tpu/weights/beat_rnn.npz")
     args = ap.parse_args(argv)
-    res = train(args.clips, args.epochs, args.batch, args.seed, args.out, args.hidden)
-    return 0 if res["f_blstm"] > 0 else 1
+    res = train(args.clips, args.epochs, args.batch, args.seed, args.out,
+                args.hidden, args.ensemble)
+    return 0 if res["f_ens"] > 0 else 1
 
 
 if __name__ == "__main__":

@@ -3,21 +3,30 @@
 The reference uses released htdemucs checkpoints (reference:
 backend/app/services/separation/demucs_sep.py:144-220); none exist in this
 zero-egress environment, so a smaller variant of the SAME architecture
-(channels 16, bottom 128, 3 transformer layers — every size derived from
-the parameter pytree) is trained from scratch on synthesized 4-stem
-multitracks with exact ground truth (train/synth.synth_multitrack).
+(every size derived from the parameter pytree) is trained from scratch on
+synthesized multitracks with exact ground truth (train/synth.synth_multitrack).
+
+``--sources 6`` trains the htdemucs_6s stem layout (drums, bass, other,
+vocals, guitar, piano — reference demucs_sep.py:30-36), whose GUITAR stem
+is the reference's first-priority transcription source
+(core/config.py:21-24). The synthetic arrangements include solo-guitar
+clips so the model learns to route solo acoustic recordings (the golden
+WAV's style) to the guitar stem with a silent drums stem.
 
 Loss is per-stem level-normalized L1 on waveforms. Save gates are aligned
-with what the PIPELINE consumes from separation: the "other" stem feeds
+with what the PIPELINE consumes from separation: the priority stem feeds
 transcription (held-out SI-SDR must beat the HPSS-harmonic baseline) and
-the "drums" stem feeds beat tracking (beat F-measure of a DBN decode on
-the separated drums must match or beat the HPSS-percussive baseline) —
-the weight-free fallback is exactly that HPSS baseline, so shipping
-weights must be a measurable upgrade.
+the drums stem feeds beat tracking (beat F of a DBN decode on the
+separated drums must match or beat the HPSS-percussive baseline). With the
+golden WAV present, the candidate must also keep the PRODUCTION beat path
+(drums stem behind the fused RMS gate, mix-percussive fallback) at or
+above the mix-percussive baseline on that real recording — round 2's
+4-source checkpoint failed exactly this (golden F 0.375 on the lone stem).
 
 Usage:
     python -m audiotabs_tpu.train.htdemucs_train \
-        [--clips 48] [--steps 1500] [--out audiotabs_tpu/weights/htdemucs.npz]
+        [--sources 6] [--clips 48] [--steps 1500] \
+        [--out audiotabs_tpu/weights/htdemucs.npz]
 """
 
 from __future__ import annotations
@@ -37,6 +46,7 @@ from ..models import htdemucs as hd
 
 SR = 44100
 SEG = 131072  # ≈ 2.97 s, multiple of ALIGN
+GATE_FRAC = 0.15  # the fused-program drums-RMS gate (runtime/fused.py)
 
 
 def si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
@@ -49,16 +59,16 @@ def si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
     return float(10 * np.log10((np.dot(s, s) + 1e-12) / (np.dot(e, e) + 1e-12)))
 
 
-def build_clips(n: int, seed: int, duration: float | None = None):
+def build_clips(n: int, seed: int, duration: float | None = None, n_sources: int = 4):
     from .synth import synth_multitrack
 
     seg = SEG if duration is None else int(duration * SR)
     rng = np.random.default_rng(seed)
     mixes = np.zeros((n, 2, seg), np.float32)
-    stems = np.zeros((n, 4, 2, seg), np.float32)
+    stems = np.zeros((n, n_sources, 2, seg), np.float32)
     beats = []
     for i in range(n):
-        m, s, b = synth_multitrack(rng, seg / SR + 0.05, SR)
+        m, s, b = synth_multitrack(rng, seg / SR + 0.05, SR, n_sources=n_sources)
         mixes[i] = m[:, :seg]
         stems[i] = s[:, :, :seg]
         beats.append(b[b < seg / SR])
@@ -67,15 +77,71 @@ def build_clips(n: int, seed: int, duration: float | None = None):
 
 def hpss_baseline(mix: np.ndarray) -> dict[str, np.ndarray]:
     """The pipeline's weight-free fallback: HPSS percussive→drums,
-    harmonic→other (mono, applied per channel)."""
+    harmonic→transcription stem (mono, applied per channel)."""
     from ..ops.hpss import hpss
 
-    outs = {"drums": np.zeros_like(mix), "other": np.zeros_like(mix)}
+    outs = {"drums": np.zeros_like(mix), "harmonic": np.zeros_like(mix)}
     for c in range(mix.shape[0]):
         yh, yp = hpss(jnp.asarray(mix[c]))
-        outs["other"][c] = np.asarray(yh)
+        outs["harmonic"][c] = np.asarray(yh)
         outs["drums"][c] = np.asarray(yp)
     return outs
+
+
+def golden_gates(params: dict, n_sources: int) -> dict | None:
+    """Real-audio gates on the golden WAV through the PRODUCTION beat path.
+
+    Separates the golden mix with the candidate checkpoint, applies the
+    fused program's drums-RMS gate (runtime/fused.py: use the drums stem
+    only above GATE_FRAC of mix RMS, else the mix-percussive), and scores
+    the DBN beat decode against the reference's own beat output. Also
+    reports how much of the (solo-guitar) recording's energy lands in the
+    guitar stem when the checkpoint has one."""
+    import json
+
+    from .golden import GOLDEN_DIR, golden_audio, golden_available
+    from ..analysis.metrics import beat_f_measure
+    from ..decode.dbn_beats import dbn_beat_track
+    from ..models.beat_rnn import beat_activation
+
+    if not golden_available("beat_times.json"):
+        return None
+    y, _yh, yp = golden_audio()  # 22.05 kHz mono
+    ref_beats = np.asarray(
+        json.loads((GOLDEN_DIR / "out" / "beat_times.json").read_text())["beat_times_raw_s"]
+    )
+    run = {k: v for k, v in params.items() if k != "meta_segment"}
+    stems = np.asarray(
+        hd._separate_program(
+            run, jnp.asarray(y), sr=22050, seg=SEG, stride=(SEG * 3) // 4,
+            shifts=1, n_sources=n_sources,
+        )
+    )  # [S, T] mono at 22.05 kHz
+
+    def beat_f(sig: np.ndarray) -> float:
+        act = np.asarray(beat_activation(jnp.asarray(sig.astype(np.float32)), 22050, 100))
+        est = np.asarray(dbn_beat_track(act.astype(np.float32), fps=100))
+        return beat_f_measure(est, ref_beats)
+
+    r_mix = float(np.sqrt((y**2).mean()))
+    r_drums = float(np.sqrt((stems[0] ** 2).mean()))
+    gate_on = r_drums > GATE_FRAC * r_mix
+    f_fallback = beat_f(yp)  # the mix-percussive path (weight-free baseline)
+    f_drums = beat_f(stems[0])
+    f_production = f_drums if gate_on else f_fallback
+    out = {
+        "drums_rms_frac": r_drums / (r_mix + 1e-12),
+        "gate_selects_drums": gate_on,
+        "beat_f_drums_stem": f_drums,
+        "beat_f_fallback": f_fallback,
+        "beat_f_production": f_production,
+    }
+    if n_sources >= 6:
+        # the golden WAV is solo fingerpicked guitar: the guitar stem should
+        # carry the bulk of the energy
+        r_guitar = float(np.sqrt((stems[4] ** 2).mean()))
+        out["guitar_rms_frac"] = r_guitar / (r_mix + 1e-12)
+    return out
 
 
 def train(
@@ -87,14 +153,19 @@ def train(
     channels: int = 16,
     bottom: int = 128,
     t_layers: int = 3,
+    sources: int = 4,
 ) -> dict:
     t0 = time.time()
-    mixes, stems, _ = build_clips(n_clips, seed)
-    val_m, val_s, val_beats = build_clips(8, seed + 31_000)
-    print(f"dataset: {mixes.shape} mixes ({time.time()-t0:.0f}s)", flush=True)
+    names = hd.MODEL_STEMS["htdemucs_6s"][:sources]
+    trans_name = "guitar" if sources >= 6 else "other"
+    trans_idx = names.index(trans_name)
+    mixes, stems, _ = build_clips(n_clips, seed, n_sources=sources)
+    val_m, val_s, val_beats = build_clips(8, seed + 31_000, n_sources=sources)
+    print(f"dataset: {mixes.shape} mixes, stems {names} ({time.time()-t0:.0f}s)", flush=True)
 
     params = hd.init_params(
-        jax.random.PRNGKey(seed), channels=channels, bottom=bottom, t_layers=t_layers
+        jax.random.PRNGKey(seed), n_sources=sources,
+        channels=channels, bottom=bottom, t_layers=t_layers,
     )
     n_params = sum(np.prod(np.shape(x)) for x in jax.tree.leaves(params))
     print(f"model: {n_params/1e6:.2f}M params", flush=True)
@@ -104,11 +175,13 @@ def train(
     opt_state = opt.init(params)
 
     def loss_fn(p, mb, sb):
-        pred = jax.vmap(lambda m: hd.forward(p, m))(mb)  # [B, 4, 2, T]
+        pred = jax.vmap(lambda m: hd.forward(p, m, n_sources=sources))(mb)  # [B, S, 2, T]
         # per-stem level-normalized L1: the drums stem is sparse transients
         # whose raw L1 mass is tiny next to sustained stems — unnormalized,
-        # the optimizer simply ignores it
-        err = jnp.abs(pred - sb).mean(axis=(0, 2, 3))  # [4]
+        # the optimizer simply ignores it. Level floor 1e-4 also keeps
+        # silent stems (solo-guitar clips) from dividing by ~zero while
+        # still demanding the model output silence there.
+        err = jnp.abs(pred - sb).mean(axis=(0, 2, 3))  # [S]
         level = jnp.abs(sb).mean(axis=(0, 2, 3)) + 1e-4
         return (err / level).mean()
 
@@ -128,17 +201,16 @@ def train(
             print(f"step {step}: L1 {float(loss):.5f} ({time.time()-t0:.0f}s)", flush=True)
 
     # ---- eval: gates aligned with what the PIPELINE consumes ----
-    # "other" feeds transcription → SI-SDR; "drums" feeds beat tracking →
-    # beat F-measure of a DBN decode on the separated stem (waveform SI-SDR
-    # punishes transient phase errors that beat tracking is blind to)
+    # the priority stem feeds transcription → SI-SDR; drums feeds beat
+    # tracking → beat F of a DBN decode on the separated stem (waveform
+    # SI-SDR punishes transient phase errors beat tracking is blind to)
     from ..analysis.metrics import beat_f_measure
     from ..decode.dbn_beats import dbn_beat_track
     from ..models.beat_rnn import onset_activation
 
-    fwd = jax.jit(lambda m: hd.forward(params, m))
-    names = ("drums", "bass", "other", "vocals")
+    fwd = jax.jit(lambda m: hd.forward(params, m, n_sources=sources))
     ours = {k: [] for k in names}
-    base = {"drums": [], "other": []}
+    base = {"drums": [], trans_name: []}
     beat_ours, beat_base = [], []
 
     def beats_from(drums_lr: np.ndarray) -> np.ndarray:
@@ -148,28 +220,53 @@ def train(
     for i in range(val_m.shape[0]):
         pred = np.asarray(fwd(jnp.asarray(val_m[i])))
         for k, name in enumerate(names):
-            ours[name].append(si_sdr(pred[k], val_s[i, k]))
+            if float(np.abs(val_s[i, k]).max()) > 1e-6:  # skip silent stems
+                ours[name].append(si_sdr(pred[k], val_s[i, k]))
         hb = hpss_baseline(val_m[i])
-        base["drums"].append(si_sdr(hb["drums"], val_s[i, 0]))
-        base["other"].append(si_sdr(hb["other"], val_s[i, 2]))
+        if float(np.abs(val_s[i, 0]).max()) > 1e-6:
+            base["drums"].append(si_sdr(hb["drums"], val_s[i, 0]))
+        if float(np.abs(val_s[i, trans_idx]).max()) > 1e-6:
+            base[trans_name].append(si_sdr(hb["harmonic"], val_s[i, trans_idx]))
         beat_ours.append(beat_f_measure(beats_from(pred[0]), val_beats[i]))
         beat_base.append(beat_f_measure(beats_from(hb["drums"]), val_beats[i]))
-    ours_m = {k: float(np.mean(v)) for k, v in ours.items()}
-    base_m = {k: float(np.mean(v)) for k, v in base.items()}
+    ours_m = {k: float(np.mean(v)) for k, v in ours.items() if v}
+    base_m = {k: float(np.mean(v)) for k, v in base.items() if v}
     bf_ours, bf_base = float(np.mean(beat_ours)), float(np.mean(beat_base))
     print(f"val SI-SDR (dB): model {ours_m}", flush=True)
     print(f"val SI-SDR (dB): HPSS baseline {base_m}", flush=True)
     print(f"val beat F from separated drums: model {bf_ours:.3f} vs HPSS {bf_base:.3f}", flush=True)
 
-    if ours_m["other"] > base_m["other"] and bf_ours >= bf_base:
+    g = golden_gates(params, sources)
+    if g is not None:
+        print(f"golden: {g}", flush=True)
+
+    gates_ok = ours_m[trans_name] > base_m[trans_name] and bf_ours >= bf_base
+    if g is not None:
+        gates_ok = gates_ok and g["beat_f_production"] >= g["beat_f_fallback"] - 1e-6
+        # ratchet vs the existing checkpoint on the production golden path
+        old = hd.load_params(out_path) if Path(out_path).exists() else None
+        if old is not None:
+            old_sources = old["tdecoder"][-1]["convtr_w"].shape[1] // 2
+            g_old = golden_gates(old, old_sources)
+            if g_old is not None:
+                print(f"existing checkpoint golden: {g_old}", flush=True)
+                gates_ok = gates_ok and (
+                    g["beat_f_production"] >= g_old["beat_f_production"] - 1e-6
+                    # a 6-source candidate may tie (not regress) the golden
+                    # beat path: it adds the guitar stem the 4-source
+                    # checkpoint cannot produce
+                )
+
+    if gates_ok:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
         params_out = dict(params)
         params_out["meta_segment"] = np.asarray(SEG, dtype=np.int64)
         hd.save_params(out_path, params_out)
         print(f"saved {out_path}", flush=True)
     else:
-        print("NOT saved: model does not beat the HPSS fallback", flush=True)
-    return {"ours": ours_m, "base": base_m, "params": params}
+        print("NOT saved: model fails an acceptance gate", flush=True)
+    return {"ours": ours_m, "base": base_m, "beat_f": bf_ours, "beat_f_base": bf_base,
+            "golden": g, "params": params, "saved": gates_ok}
 
 
 def main(argv=None) -> int:
@@ -178,9 +275,15 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sources", type=int, default=4, choices=(4, 6))
+    ap.add_argument("--channels", type=int, default=16)
+    ap.add_argument("--bottom", type=int, default=128)
+    ap.add_argument("--t-layers", type=int, default=3)
     ap.add_argument("--out", default="audiotabs_tpu/weights/htdemucs.npz")
     args = ap.parse_args(argv)
-    train(args.clips, args.steps, args.batch, args.seed, args.out)
+    train(args.clips, args.steps, args.batch, args.seed, args.out,
+          channels=args.channels, bottom=args.bottom, t_layers=args.t_layers,
+          sources=args.sources)
     return 0
 
 

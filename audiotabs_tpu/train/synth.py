@@ -69,7 +69,18 @@ def synth_beat_clip(
     tempo = float(np.exp(rng.uniform(np.log(58.0), np.log(205.0))))
     period = 60.0 / tempo
     phase = float(rng.uniform(0.0, period))
-    beats = np.arange(phase, duration_s - 0.05, period)
+    # tempo drift: half the clips slowly speed up / slow down (up to ±6%
+    # across the clip) — real players drift, and a tracker trained only on
+    # metronomic grids over-commits to a single DBN tempo state
+    drift = float(rng.uniform(-0.06, 0.06)) if rng.random() < 0.5 else 0.0
+    bl, tcur = [], phase
+    while tcur < duration_s - 0.05:
+        bl.append(tcur)
+        tcur += period * (1.0 + drift * (tcur / duration_s))
+    beats = np.asarray(bl)
+    # swing: off-eighths land late (0.5 → up to 0.64 of the beat) in a
+    # third of clips
+    swing = float(rng.uniform(0.54, 0.64)) if rng.random() < 0.33 else 0.5
 
     style = rng.choice(["drums", "strum", "both", "legato", "fingerpick"])
     root = int(rng.integers(40, 56))
@@ -100,10 +111,19 @@ def synth_beat_clip(
             seg = np.arange(dur) / sr
             y[a : a + dur] += amp * np.sin(2 * np.pi * (150 * np.exp(-seg * 25) + 45) * seg) * np.exp(-seg * 25 / 0.06 * 4)
             y[a : a + dur // 2] += 0.6 * amp * _noise_burst(rng, dur // 2, 8.0)
-            half = b + period / 2
+            half = b + period * swing  # swung off-eighth
             ha = int(half * sr)
             if off_amp > 0.05 and ha + dur // 3 < n:
                 y[ha : ha + dur // 3] += off_amp * 0.25 * _noise_burst(rng, dur // 3, 10.0)
+            # drum fill: an occasional 16th-note burst run across the second
+            # half of the beat — off-grid transients the tracker must NOT
+            # lock onto
+            if rng.uniform() < 0.06:
+                for k16 in range(2, 4):
+                    fa = int((b + k16 * period / 4) * sr)
+                    fd = dur // 4
+                    if fa + fd < n:
+                        y[fa : fa + fd] += 0.35 * amp * _noise_burst(rng, fd, 9.0)
 
     # strummed chords at beats (slightly arpeggiated attacks); the legato
     # style sustains across beats with soft attacks — the hardest case for
@@ -152,7 +172,7 @@ def synth_beat_clip(
                 y[a : a + dur] += 0.35 * float(rng.uniform(0.7, 1.0)) * _pluck(
                     fb, seg, rng, decay=1.5 / period
                 )
-            for frac in (0.25, 0.5, 0.75):
+            for frac in (0.25, swing, 0.75):  # swung middle eighth
                 if rng.uniform() < 0.3:
                     continue
                 iv = int(rng.choice(_CHORDS[qual]))
@@ -254,14 +274,57 @@ def synth_note_clip(
     return (0.9 * y / peak).astype(np.float32), events
 
 
+def _piano_note(f: float, t: np.ndarray, rng: np.random.Generator, decay: float = 1.5) -> np.ndarray:
+    """Struck-string tone: two slightly detuned unison strings, steep
+    per-harmonic damping, and a hammer-noise attack — piano-like enough to
+    be separable from the plucked-guitar timbre."""
+    y = np.zeros_like(t)
+    detune = rng.uniform(0.0005, 0.002)
+    for fk in (f * (1 - detune), f * (1 + detune)):
+        for h in range(1, 7):
+            fh = fk * h * (1.0 + 3e-4 * h * h)
+            if fh > 9000:
+                break
+            y += (1.0 / h**1.2) * np.sin(2 * np.pi * fh * t) * np.exp(-t * (decay + 1.8 * h))
+    na = min(len(t), max(8, int(0.003 * len(t) / (t[-1] + 1e-9) if len(t) > 1 else 64)))
+    y[:na] += 0.4 * rng.standard_normal(na) * np.linspace(1, 0, na)
+    return 0.5 * y
+
+
+def _pad_tone(f: float, t: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Sustained slow-attack pad (strings/organ-ish): odd+even harmonics,
+    no decay, ~80 ms linear attack — the 6-stem "other" residual source,
+    deliberately unlike both pluck and piano envelopes."""
+    y = np.zeros_like(t)
+    for h in range(1, 7):
+        if f * h > 8000:
+            break
+        y += (1.0 / h) * np.sin(2 * np.pi * f * h * t + rng.uniform(0, 2 * np.pi))
+    atk = min(len(t), max(1, int(0.08 * len(t) / (t[-1] + 1e-9) if len(t) > 1 else 64)))
+    env = np.ones_like(t)
+    env[:atk] = np.linspace(0, 1, atk)
+    # slight amplitude vibrato so the pad is not a pure steady state
+    env *= 1.0 + 0.08 * np.sin(2 * np.pi * rng.uniform(0.3, 1.5) * t)
+    return 0.35 * y * env
+
+
 def synth_multitrack(
     rng: np.random.Generator,
     duration_s: float = 3.0,
     sr: int = 44100,
+    n_sources: int = 4,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """→ (mix [2, T], stems [4, 2, T], beat_times [s]) in htdemucs stem
-    order (drums, bass, other, vocals) — exact ground truth for separation
-    training; stems are mono sources with random stereo panning."""
+    """→ (mix [2, T], stems [n_sources, 2, T], beat_times [s]) in htdemucs
+    stem order — (drums, bass, other, vocals) for 4 sources, plus
+    (guitar, piano) for 6 (htdemucs_6s order, reference
+    demucs_sep.py:30-36) — exact ground truth for separation training;
+    stems are mono sources with random stereo panning.
+
+    For 6 sources the plucked strums/fingerpicking live in the GUITAR stem
+    (the reference's transcription priority stem), "other" becomes a
+    sustained pad, and a solo-guitar arrangement is drawn ~25% of the time
+    so the model learns to route solo acoustic recordings (the golden WAV's
+    style) to the guitar stem with a silent drums stem."""
     n = int(duration_s * sr)
     tempo = float(np.exp(rng.uniform(np.log(70.0), np.log(170.0))))
     period = 60.0 / tempo
@@ -286,56 +349,129 @@ def synth_multitrack(
     hat_dur = int(0.02 * sr)
     hat = 0.25 * _noise_burst(rng, hat_dur, 12.0)
 
+    guitar = np.zeros(n)
+    piano = np.zeros(n)
+    six = n_sources >= 6
+
+    # arrangement: 4-source keeps the fixed full-band layout the shipped
+    # checkpoint was trained on; 6-source draws ensembles, including the
+    # solo-guitar case (the golden WAV's arrangement) often enough that
+    # "route acoustic plucks to guitar, keep drums silent" is learnable
+    if six:
+        mode = str(rng.choice(["band", "band", "guitar_solo", "guitar_duo", "piano_led"]))
+    else:
+        mode = "band"
+    has = {
+        "drums": mode in ("band", "piano_led") or (mode == "guitar_duo" and rng.random() < 0.3),
+        "bass": mode in ("band", "piano_led", "guitar_duo"),
+        "vocals": mode in ("band", "piano_led") and rng.random() < 0.7,
+        "other": (not six and mode == "band") or (six and mode == "band" and rng.random() < 0.6),
+        "guitar": six and mode in ("band", "guitar_solo", "guitar_duo"),
+        "piano": six and (mode == "piano_led" or (mode == "band" and rng.random() < 0.5)),
+    }
+    if not six:
+        has.update({"drums": True, "bass": True, "vocals": True, "other": True})
+    # 6-stem strums/arpeggios belong to the GUITAR stem; for the 4-stem
+    # model they are the "other" residual, as before
+    strum_target = guitar if six else other
+    fingerpick = mode == "guitar_solo" and rng.random() < 0.5
+
     for i, b in enumerate(beats):
         a = int(b * sr)
-        if a + kick_dur < n:
-            drums[a : a + kick_dur] += kick
-            if i % 2 == 1:
-                drums[a : a + kick_dur] += snare
-        ha = int((b + period / 2) * sr)
-        if ha + hat_dur < n:
-            drums[ha : ha + hat_dur] += hat
+        if has["drums"]:
+            if a + kick_dur < n:
+                drums[a : a + kick_dur] += kick
+                if i % 2 == 1:
+                    drums[a : a + kick_dur] += snare
+            ha = int((b + period / 2) * sr)
+            if ha + hat_dur < n:
+                drums[ha : ha + hat_dur] += hat
 
         ch = prog[(i // 2) % 4]
         qual = quals[(i // 2) % 4]
         # bass: root note an octave down, one pluck per beat
         dur = min(int(period * sr * 0.9), n - a)
-        if dur > 0:
+        if has["bass"] and dur > 0:
             seg = np.arange(dur) / sr
             fb = 440.0 * 2 ** ((ch - 24 - 69) / 12)
             bass[a : a + dur] += 0.6 * _pluck(fb, seg, rng, decay=2.0 / period)
-        # other: strummed chord every 2 beats
-        if i % 2 == 0 and dur > 0:
-            dur2 = min(int(period * sr * 1.8), n - a)
-            seg = np.arange(dur2) / sr
-            for k, iv in enumerate(_CHORDS[qual]):
+
+        if has["guitar"] or not six:
+            if fingerpick:
+                # solo fingerpicking: alternating root/fifth bass pluck ON
+                # the beat (the guitar covers the bass register itself) +
+                # chord-tone arpeggios on the off-eighths
+                bass_p = ch - 12 + (7 if i % 2 == 1 and rng.random() < 0.7 else 0)
+                if dur > 0:
+                    seg = np.arange(dur) / sr
+                    fb = 440.0 * 2 ** ((bass_p - 69) / 12)
+                    strum_target[a : a + dur] += 0.5 * float(rng.uniform(0.7, 1.0)) * _pluck(
+                        fb, seg, rng, decay=1.5 / period
+                    )
+                for frac in (0.25, 0.5, 0.75):
+                    if rng.uniform() < 0.3:
+                        continue
+                    iv = int(rng.choice(_CHORDS[qual]))
+                    a2 = int((b + frac * period) * sr)
+                    d2 = min(int(period * sr * 0.4), n - a2)
+                    if d2 > 0:
+                        seg = np.arange(d2) / sr
+                        f = 440.0 * 2 ** ((ch + iv - 69) / 12)
+                        strum_target[a2 : a2 + d2] += 0.25 * float(rng.uniform(0.6, 1.0)) * _pluck(
+                            f, seg, rng, decay=2.5 / period
+                        )
+            elif i % 2 == 0 and dur > 0:
+                # strummed chord every 2 beats (slightly arpeggiated attack)
+                dur2 = min(int(period * sr * 1.8), n - a)
+                seg = np.arange(dur2) / sr
+                for k, iv in enumerate(_CHORDS[qual]):
+                    f = 440.0 * 2 ** ((ch + iv - 69) / 12)
+                    aa = min(a + int(0.005 * k * sr), n - 1)
+                    d2 = min(dur2, n - aa)
+                    strum_target[aa : aa + d2] += 0.3 * _pluck(f, seg[:d2], rng, decay=1.0 / period)
+
+        # piano comping: chord stab on the offbeat (or every beat when
+        # piano-led), distinct struck timbre
+        if has["piano"]:
+            stab_beat = (i % 2 == 1) or mode == "piano_led"
+            if stab_beat and dur > 0:
+                dur3 = min(int(period * sr * 1.2), n - a)
+                seg = np.arange(dur3) / sr
+                for iv in _CHORDS[qual]:
+                    f = 440.0 * 2 ** ((ch + iv - 57) / 12)  # an octave up
+                    piano[a : a + dur3] += 0.3 * _piano_note(f, seg, rng, decay=1.2 / period)
+
+        # sustained pad holding the chord (6-stem "other" residual)
+        if six and has["other"] and i % 2 == 0 and dur > 0:
+            dur4 = min(int(period * sr * 2.0), n - a)
+            seg = np.arange(dur4) / sr
+            for iv in _CHORDS[qual][:3]:
                 f = 440.0 * 2 ** ((ch + iv - 69) / 12)
-                aa = min(a + int(0.005 * k * sr), n - 1)
-                d2 = min(dur2, n - aa)
-                other[aa : aa + d2] += 0.3 * _pluck(f, seg[:d2], rng, decay=1.0 / period)
+                other[a : a + dur4] += 0.25 * _pad_tone(f, seg, rng)
 
     # vocals: vibrato melody phrases (the most "voiced" synthetic source)
-    t0 = float(rng.uniform(0, 0.4))
-    while t0 < duration_s - 0.3:
-        p = root + 24 + int(rng.choice(scale))
-        dur = float(rng.uniform(0.3, 0.9))
-        a = int(t0 * sr)
-        d = min(int(dur * sr), n - a)
-        if d > 0:
-            seg = np.arange(d) / sr
-            f0 = 440.0 * 2 ** ((p - 69) / 12)
-            vib = f0 * (1.0 + 0.015 * np.sin(2 * np.pi * 5.5 * seg))
-            phase = 2 * np.pi * np.cumsum(vib) / sr
-            env = np.minimum(1, 8 * seg) * np.minimum(1, 8 * (seg[-1] - seg + 1e-3))
-            vocals[a : a + d] += 0.5 * env * (
-                np.sin(phase) + 0.4 * np.sin(2 * phase) + 0.15 * np.sin(3 * phase)
-            )
-        t0 += dur + float(rng.uniform(0.05, 0.4))
+    if has["vocals"]:
+        t0 = float(rng.uniform(0, 0.4))
+        while t0 < duration_s - 0.3:
+            p = root + 24 + int(rng.choice(scale))
+            dur = float(rng.uniform(0.3, 0.9))
+            a = int(t0 * sr)
+            d = min(int(dur * sr), n - a)
+            if d > 0:
+                seg = np.arange(d) / sr
+                f0 = 440.0 * 2 ** ((p - 69) / 12)
+                vib = f0 * (1.0 + 0.015 * np.sin(2 * np.pi * 5.5 * seg))
+                phase = 2 * np.pi * np.cumsum(vib) / sr
+                env = np.minimum(1, 8 * seg) * np.minimum(1, 8 * (seg[-1] - seg + 1e-3))
+                vocals[a : a + d] += 0.5 * env * (
+                    np.sin(phase) + 0.4 * np.sin(2 * phase) + 0.15 * np.sin(3 * phase)
+                )
+            t0 += dur + float(rng.uniform(0.05, 0.4))
 
-    stems_mono = [drums, bass, other, vocals]
-    levels = rng.uniform(0.5, 1.0, size=4)
-    pans = rng.uniform(0.35, 0.65, size=4)  # near-center panning
-    stems = np.zeros((4, 2, n), dtype=np.float32)
+    stems_mono = [drums, bass, other, vocals] + ([guitar, piano] if six else [])
+    levels = rng.uniform(0.5, 1.0, size=len(stems_mono))
+    pans = rng.uniform(0.35, 0.65, size=len(stems_mono))  # near-center panning
+    stems = np.zeros((len(stems_mono), 2, n), dtype=np.float32)
     for k, st in enumerate(stems_mono):
         st = levels[k] * st
         stems[k, 0] = pans[k] * st
@@ -417,6 +553,110 @@ def synth_chord_clip(
     y += rng.uniform(0.001, 0.008) * rng.standard_normal(n)
     peak = np.abs(y).max() + 1e-9
     return (0.9 * y / peak).astype(np.float32), labels
+
+
+def synth_guitar_voicing_clip(
+    rng: np.random.Generator,
+    duration_s: float = 6.0,
+    sr: int = 22050,
+) -> tuple[np.ndarray, list[tuple[float, float, int]]]:
+    """→ (mono audio, [(start_s, end_s, midi_pitch), ...]) of REAL guitar
+    voicings: open-position chord shapes from the repo's own shape tables
+    (tab/open_chords.py — 4-6 simultaneous strings, the voicings the golden
+    WAV actually strums), strummed with per-string arpeggiation and
+    re-strums, or fingerpicked bass+arpeggio patterns, with an optional
+    melody on top. This is the polyphony regime synth_note_clip
+    underweights (its chords are 1-3 stacked intervals, not guitar
+    voicings), and it is what the AMT model must recall on the golden clip
+    (reference amt/basic_pitch.py:55-71 handles this via pretraining)."""
+    from ..tab.fretboard import STANDARD_TUNING, positions_to_pitches
+    from ..tab.open_chords import OPEN_POSITION_CHORDS, shape_to_positions
+
+    n = int(duration_s * sr)
+    y = np.zeros(n, dtype=np.float64)
+    events: list[tuple[float, float, int]] = []
+    shape_names = list(OPEN_POSITION_CHORDS)
+    tempo = float(np.exp(rng.uniform(np.log(60.0), np.log(140.0))))
+    period = 60.0 / tempo
+    style = str(rng.choice(["strum", "strum", "fingerpick"]))
+
+    t = float(rng.uniform(0.05, 0.3))
+    while t < duration_s - 0.4:
+        shape = OPEN_POSITION_CHORDS[shape_names[int(rng.integers(len(shape_names)))]]
+        pitches = positions_to_pitches(shape_to_positions(shape), STANDARD_TUNING)
+        span = period * float(rng.choice([2, 4]))  # chord hold
+        if style == "strum":
+            # strums every beat within the span; down-strums hit low→high
+            # with ~4-8 ms per string, up-strums the reverse and lighter
+            n_strums = max(1, int(span / period))
+            for s_i in range(n_strums):
+                ts = t + s_i * period
+                if ts >= duration_s - 0.15:
+                    break
+                up = s_i % 2 == 1 and rng.random() < 0.5
+                order = pitches[::-1] if up else pitches
+                amp = float(rng.uniform(0.14, 0.3)) * (0.7 if up else 1.0)
+                dt = float(rng.uniform(0.004, 0.009))
+                dur = float(rng.uniform(0.7, 1.0)) * period
+                for k, p in enumerate(order):
+                    a = int((ts + k * dt) * sr)
+                    d = min(int(dur * sr), n - a)
+                    if d <= 0:
+                        continue
+                    seg = np.arange(d) / sr
+                    f = 440.0 * 2 ** ((p - 69) / 12)
+                    y[a : a + d] += amp * _pluck(f, seg, rng, decay=1.5 / period)
+                    events.append((ts + k * dt, ts + k * dt + dur, p))
+        else:
+            # fingerpick: bass (lowest string) on the beat, upper strings on
+            # the off-eighths — sparse but fully labeled
+            n_beats = max(1, int(span / period))
+            upper = pitches[-3:]
+            for b_i in range(n_beats):
+                ts = t + b_i * period
+                if ts >= duration_s - 0.15:
+                    break
+                bass_p = pitches[0] if b_i % 2 == 0 else pitches[min(1, len(pitches) - 1)]
+                a = int(ts * sr)
+                d = min(int(period * 0.95 * sr), n - a)
+                if d > 0:
+                    seg = np.arange(d) / sr
+                    f = 440.0 * 2 ** ((bass_p - 69) / 12)
+                    y[a : a + d] += 0.3 * _pluck(f, seg, rng, decay=1.2 / period)
+                    events.append((ts, ts + d / sr, bass_p))
+                for frac in (0.25, 0.5, 0.75):
+                    if rng.uniform() < 0.35:
+                        continue
+                    p = int(rng.choice(upper))
+                    a2 = int((ts + frac * period) * sr)
+                    d2 = min(int(period * 0.45 * sr), n - a2)
+                    if d2 > 0:
+                        seg = np.arange(d2) / sr
+                        f = 440.0 * 2 ** ((p - 69) / 12)
+                        y[a2 : a2 + d2] += 0.18 * _pluck(f, seg, rng, decay=2.0 / period)
+                        events.append((ts + frac * period, ts + frac * period + d2 / sr, p))
+        t += span + float(rng.uniform(0.0, 0.1))
+
+    # optional melody over the chords (octave above, non-labeled distractors
+    # would be wrong here: melody notes ARE real notes, so label them)
+    if rng.uniform() < 0.4:
+        t0 = float(rng.uniform(0.1, 0.5))
+        scale = np.array([0, 2, 4, 5, 7, 9, 11])
+        root = 64
+        while t0 < duration_s - 0.3:
+            p = root + int(rng.choice(scale))
+            a = int(t0 * sr)
+            d = min(int(period * 0.8 * sr), n - a)
+            if d > 0:
+                seg = np.arange(d) / sr
+                f = 440.0 * 2 ** ((p - 69) / 12)
+                y[a : a + d] += 0.16 * _pluck(f, seg, rng, decay=2.5 / period)
+                events.append((t0, t0 + d / sr, p))
+            t0 += period * float(rng.choice([0.5, 1.0]))
+
+    y += rng.uniform(0.001, 0.006) * rng.standard_normal(n)
+    peak = np.abs(y).max() + 1e-9
+    return (0.9 * y / peak).astype(np.float32), events
 
 
 _MAJOR_DEGREES = [(0, "maj"), (2, "min"), (4, "min"), (5, "maj"), (7, "maj"), (9, "min")]

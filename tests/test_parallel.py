@@ -33,6 +33,33 @@ def test_batched_fused_analysis_8dev(monkeypatch):
     np.testing.assert_allclose(em.sum(axis=1), 1.0, atol=1e-3)
 
 
+def test_model_axis_htdemucs_forward():
+    """The "model" mesh axis is real, not a claim: the UNCHANGED htdemucs
+    forward runs with its parameters tensor-sharded over a (4, 2)
+    ("data", "model") mesh — GSPMD inserts the collectives — and matches
+    the single-device output. Also asserts the weights are physically
+    distributed (the memory win TP exists for)."""
+    import jax.numpy as jnp
+
+    from audiotabs_tpu.models import htdemucs as hd
+    from audiotabs_tpu.parallel import make_mesh
+    from audiotabs_tpu.parallel.model_axis import shard_params_model_axis, sharded_count
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    params = hd.init_params(jax.random.PRNGKey(0), channels=8, bottom=64, t_layers=2)
+    mix = np.asarray(
+        0.1 * np.random.default_rng(0).standard_normal((2, 4096)), np.float32
+    )
+
+    ref = np.asarray(hd.forward(params, jnp.asarray(mix)))
+
+    sharded = shard_params_model_axis(params, mesh)
+    n_dist = sharded_count(sharded)
+    assert n_dist >= 20, f"only {n_dist} params actually sharded over 'model'"
+    out = np.asarray(jax.jit(lambda p, m: hd.forward(p, m))(sharded, jnp.asarray(mix)))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
 def test_graft_entry_contract():
     import sys
 

@@ -71,6 +71,9 @@ def test_pipeline_end_to_end(melody_wav, tmp_path, monkeypatch):
     prof = json.loads((out / "profile.json").read_text())
     assert "transcription" in prof
     assert (out / "score.ly").exists()
+    # score.pdf is produced even without the lilypond binary (the
+    # dependency-free engraver, score/pdfwriter.py)
+    assert (out / "score.pdf").read_bytes().startswith(b"%PDF")
 
     # musicxml parses and has a TAB part
     import xml.etree.ElementTree as ET

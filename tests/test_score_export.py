@@ -89,3 +89,47 @@ def test_csv_matches_reference_format(tmp_path):
     lines = p.read_text().strip().split("\n")
     assert lines[0] == "start_time_s,end_time_s,pitch_midi,velocity,amplitude"
     assert lines[1] == "2.200000,2.371000,50,90,1.000000"
+
+
+def test_pdf_lead_sheet(tmp_path):
+    """The LilyPond-free PDF engraver (score/pdfwriter.py): valid PDF
+    structure, one page for a short progression, multi-page for a long one,
+    chord symbols present as text operators."""
+    from audiotabs_tpu.schemas import ChordSegment, KeySignature
+    from audiotabs_tpu.score.pdfwriter import build_pdf_lead_sheet, render_pdf_lead_sheet
+
+    ks = KeySignature(
+        tonic="G", mode="major", fifths=1, name="G major", vexflow="G",
+        use_flats=False, score=1.0,
+    )
+    chords = [
+        ChordSegment(start=4.0 * i, end=4.0 * (i + 1), label=l, confidence=0.9)
+        for i, l in enumerate(["G:maj", "D:maj", "A:min", "C:maj"] * 5)
+    ]
+    data = build_pdf_lead_sheet(chords, tempo_bpm=68.0, title="t", key_signature=ks)
+    assert data.startswith(b"%PDF")
+    assert data.count(b"/Type /Page ") == 1
+    assert b"(G) Tj" in data and b"(Am) Tj" in data  # chord symbols drawn
+
+    # xref offsets must point at the objects they claim
+    import re
+
+    xref_at = int(data.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    assert data[xref_at : xref_at + 4] == b"xref"
+    n = int(re.search(rb"xref\n0 (\d+)\n", data[xref_at:]).group(1))
+    table = xref_at + re.search(rb"xref\n0 \d+\n", data[xref_at:]).end()
+    for i in range(1, n):
+        off = int(data[table + 20 * i : table + 20 * i + 10])
+        assert data[off:].startswith(f"{i} 0 obj".encode())
+
+    # long progression → multiple pages
+    long_chords = [
+        ChordSegment(start=4.0 * i, end=4.0 * (i + 1), label="G:maj", confidence=0.9)
+        for i in range(80)
+    ]
+    data2 = build_pdf_lead_sheet(long_chords, tempo_bpm=120.0, title="t2")
+    assert data2.count(b"/Type /Page ") >= 2
+
+    p = tmp_path / "score.pdf"
+    assert render_pdf_lead_sheet(p, chords, tempo_bpm=68.0)
+    assert p.read_bytes().startswith(b"%PDF")

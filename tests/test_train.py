@@ -16,7 +16,10 @@ def test_synth_beat_clip_labels():
     assert np.abs(y).max() <= 1.0
     assert len(beats) >= 6
     periods = np.diff(beats)
-    assert np.allclose(periods, periods[0], atol=1e-3)  # steady grid
+    # steady or SMOOTHLY drifting grid (synth draws up to ±6% tempo drift
+    # across the clip): consecutive periods never jump, total drift bounded
+    assert np.abs(np.diff(periods)).max() <= 0.02 * periods.mean()
+    assert periods.max() - periods.min() <= 0.10 * periods.mean()
     assert 60.0 / periods.mean() >= 55 and 60.0 / periods.mean() <= 215
 
 
@@ -41,6 +44,78 @@ def test_synth_multitrack_mix_is_sum_of_stems():
     # every stem carries energy
     for k in range(4):
         assert float(np.abs(stems[k]).max()) > 1e-3, k
+
+
+def test_synth_multitrack_6s_guitar_and_solo_modes():
+    """The htdemucs_6s layout: 6 stems summing to the mix, guitar carrying
+    plucked content, and the solo-guitar arrangement appearing (the golden
+    WAV's case: silent drums, everything in guitar)."""
+    from audiotabs_tpu.train.synth import synth_multitrack
+
+    rng = np.random.default_rng(1)
+    saw_solo = saw_guitar = False
+    for _ in range(24):
+        mix, stems, _beats = synth_multitrack(rng, 1.5, 44100, n_sources=6)
+        assert stems.shape[:2] == (6, 2)
+        np.testing.assert_allclose(mix, stems.sum(axis=0), atol=1e-5)
+        rms = np.sqrt((stems**2).mean(axis=(1, 2)))
+        if rms[4] > 1e-4:
+            saw_guitar = True
+        if rms[4] > 1e-4 and all(rms[k] < 1e-6 for k in (0, 1, 2, 3, 5)):
+            saw_solo = True
+    assert saw_guitar and saw_solo
+
+
+def test_synth_guitar_voicing_clip():
+    """AMT voicing clips: events are real 4-6 note guitar voicings within
+    the clip, pitches on the fretboard."""
+    from audiotabs_tpu.train.synth import synth_guitar_voicing_clip
+
+    rng = np.random.default_rng(2)
+    y, events = synth_guitar_voicing_clip(rng, 4.0, 22050)
+    assert y.shape == (4 * 22050,) and events
+    for start, end, pitch in events:
+        assert 0 <= start < end
+        assert 40 <= pitch <= 88  # open E2 .. high frets
+    # simultaneous polyphony reaches guitar-voicing depth (>= 4 notes)
+    times = np.arange(0, 4.0, 0.02)
+    poly = max(sum(1 for s, e, _ in events if s <= t < e) for t in times)
+    assert poly >= 4
+
+
+def test_beat_rnn_ensemble_save_load_average(tmp_path):
+    """Ensemble checkpoints round-trip and beat_activation averages the
+    members (madmom's 8-BLSTM ensemble semantics, grid/beats.py:71-82)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiotabs_tpu.models import beat_rnn
+
+    members = [
+        beat_rnn.init_params(jax.random.PRNGKey(i), input_dim=300, hidden=6)
+        for i in range(3)
+    ]
+    for m in members:
+        m["feat_mean"] = jnp.zeros((300,))
+        m["feat_std"] = jnp.ones((300,))
+    combined = dict(members[0])
+    combined["ensemble"] = members[1:]
+    p = tmp_path / "ens.npz"
+    beat_rnn.save_params(str(p), combined)
+    loaded = beat_rnn.load_params(str(p))
+    assert len(loaded.get("ensemble", [])) == 2
+
+    y = jnp.asarray(np.random.default_rng(0).standard_normal(22050).astype(np.float32))
+    act_ens = np.asarray(beat_rnn.beat_activation(y, 22050, params=loaded))
+    per_member = [
+        np.asarray(
+            beat_rnn.beat_activation(
+                y, 22050, params={k: v for k, v in m.items() if k != "ensemble"}
+            )
+        )
+        for m in [dict(members[0])] + members[1:]
+    ]
+    np.testing.assert_allclose(act_ens, np.mean(per_member, axis=0), atol=1e-5)
 
 
 def test_rolls_from_events():
