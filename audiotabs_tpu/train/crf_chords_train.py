@@ -14,6 +14,23 @@ G/D/Am/C progression with overlap >= 0.86 through the production decode
 (beat-synchronous majority smoothing), (3) ratchet: never overwrite an
 existing checkpoint that scores higher on the golden overlap.
 
+WHY NO CHECKPOINT SHIPS (round-3 finding, measured): every trained
+candidate LOSES to the analytic template emissions on BOTH axes —
+held-out decode accuracy 0.960-0.962 vs template 0.968 (from-zero,
+template-init fine-tune, prior/bigram transitions, tau-sharpened, and
+tau×alpha template-blended variants all tried; selection on its own
+30-clip split), and golden-WAV overlap 0.932 vs template 0.996. The
+structural reason: the production feature is the trained DeepChroma DNN's
+chroma, which is itself optimized to emit chord-tone mass, so the
+chord-template readout is already the right decision structure; a
+300-parameter logistic regression fit on synthetic clips only adds
+estimation noise to it. The production "deep" backend therefore keeps the
+full CRF decode (models/crf_chords.decode — the real Viterbi over learned-
+feature emissions, matching deep_chords.py:63-82 capability) with
+analytically-derived emission weights, and this trainer stands ready to
+ship a checkpoint the day its gates pass (e.g. with richer emission
+features).
+
 Usage:
     python -m audiotabs_tpu.train.crf_chords_train \
         [--clips 60] [--steps 2000] [--out audiotabs_tpu/weights/crf_chords.npz]
@@ -70,7 +87,21 @@ def _state_labels(labels, n_frames: int) -> np.ndarray:
     return out
 
 
-def build_dataset(n_clips: int, seed: int, dc_params):
+def build_dataset(n_clips: int, seed: int, dc_params, cache: bool = True):
+    import os
+    import tempfile
+
+    # feature extraction dominates trainer wall time on this 1-core host
+    # (~8 min for 80 clips); the (n_clips, seed) draw is deterministic, so
+    # cache it across candidate runs
+    cache_path = os.path.join(tempfile.gettempdir(), f"crf_ds_{n_clips}_{seed}.npz")
+    if cache and os.path.exists(cache_path):
+        data = np.load(cache_path)
+        k = int(data["n"])
+        return (
+            [data[f"x{i}"] for i in range(k)],
+            [data[f"y{i}"] for i in range(k)],
+        )
     from ..ops.hpss import hpss
     from .synth import synth_chord_clip
 
@@ -83,6 +114,12 @@ def build_dataset(n_clips: int, seed: int, dc_params):
         st = _state_labels(labels, ch.shape[0])
         X.append(ch)
         Y.append(st)
+    if cache:
+        np.savez(
+            cache_path, n=len(X),
+            **{f"x{i}": x for i, x in enumerate(X)},
+            **{f"y{i}": y for i, y in enumerate(Y)},
+        )
     # per-clip lists: the evaluator must never splice Viterbi sequences
     # across clip boundaries (frame counts are 1 + T//hop, NOT CLIP_S*FPS)
     return X, Y
@@ -208,18 +245,53 @@ def train(
         trans_m = _transitions_from_bigrams(Y_clips)
     else:  # the analytic self-transition-heavy prior
         trans_m = np.asarray(cc.template_emission_params()["transitions"])
-    trained = {
-        "emit_w": np.asarray(w),
-        "emit_b": np.zeros((cc.N_STATES,), np.float32),
-        "transitions": trans_m,
-        "initial": np.full((cc.N_STATES,), -np.log(cc.N_STATES), np.float32),
-    }
+
+    w_tmpl = np.asarray(cc.template_emission_params()["emit_w"])
+
+    def cand(tau: float, alpha: float) -> dict:
+        # MAP-style emission: analytic template prior blended with the
+        # learned update, sharpened by tau. alpha=1, tau=1 IS the template;
+        # alpha=0 is the raw CE-trained logreg.
+        return {
+            "emit_w": (alpha * w_tmpl + (1 - alpha) * np.asarray(w)) * tau,
+            "emit_b": np.zeros((cc.N_STATES,), np.float32),
+            "transitions": trans_m,
+            "initial": np.full((cc.N_STATES,), -np.log(cc.N_STATES), np.float32),
+        }
+
+    # ---- (tau, alpha) selection on a SELECTION split ----
+    # CE training calibrates (softens) the emissions; Viterbi under a
+    # 0.98-self-transition prior then smears boundaries, so the raw trained
+    # logreg decoded ~0.006 below the (temperature-8) analytic templates on
+    # synthetic data that matches the templates by construction. The
+    # template-prior blend keeps that analytic structure where the data is
+    # uninformative while the learned update corrects it where it isn't
+    # (golden overlap: trained 0.932). Selection runs on its own split; the
+    # val split below stays untouched.
+    Xs, Ys = build_dataset(30, seed + 55_000, dc_params)
+    grid = [
+        (tau, alpha)
+        for tau in (1.0, 1.5, 2.0, 3.0)
+        for alpha in (0.0, 0.25, 0.5, 0.75)
+    ]
+    accs = {ta: _decode_accuracy(cand(*ta), Xs, Ys) for ta in grid}
+    tau_best, alpha_best = max(grid, key=lambda ta: accs[ta])
+    print(
+        "selection sweep (tau, alpha):",
+        {f"{t}/{a}": round(v, 4) for (t, a), v in accs.items()},
+        flush=True,
+    )
+    trained = cand(tau_best, alpha_best)
 
     # ---- held-out eval vs the analytic template emissions ----
-    Xv, Yv = build_dataset(10, seed + 33_000, dc_params)
+    Xv, Yv = build_dataset(30, seed + 33_000, dc_params)
     acc_tr = _decode_accuracy(trained, Xv, Yv)
     acc_tmpl = _decode_accuracy(cc.template_emission_params(), Xv, Yv)
-    print(f"val frame accuracy: trained {acc_tr:.3f} vs template {acc_tmpl:.3f}", flush=True)
+    print(
+        f"val frame accuracy: trained(tau={tau_best}, alpha={alpha_best}) "
+        f"{acc_tr:.4f} vs template {acc_tmpl:.4f}",
+        flush=True,
+    )
 
     g_overlap, g_prog = _golden_gate(trained)
     if g_overlap is not None:

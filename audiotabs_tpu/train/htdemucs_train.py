@@ -176,14 +176,18 @@ def train(
 
     def loss_fn(p, mb, sb):
         pred = jax.vmap(lambda m: hd.forward(p, m, n_sources=sources))(mb)  # [B, S, 2, T]
-        # per-stem level-normalized L1: the drums stem is sparse transients
-        # whose raw L1 mass is tiny next to sustained stems — unnormalized,
-        # the optimizer simply ignores it. Level floor 1e-4 also keeps
-        # silent stems (solo-guitar clips) from dividing by ~zero while
-        # still demanding the model output silence there.
-        err = jnp.abs(pred - sb).mean(axis=(0, 2, 3))  # [S]
-        level = jnp.abs(sb).mean(axis=(0, 2, 3)) + 1e-4
-        return (err / level).mean()
+        # per-CLIP per-stem level-normalized L1: the drums stem is sparse
+        # transients whose raw L1 mass is tiny next to sustained stems —
+        # unnormalized, the optimizer simply ignores it. The level floor is
+        # 0.02 (≈ half a typical active-stem level), NOT 1e-4: 6-source
+        # arrangements include silent stems (solo-guitar clips), and a tiny
+        # floor weighted silence-enforcement ~500× over separation — the
+        # first 6s run collapsed to near-silence on every output.
+        err = jnp.abs(pred - sb).mean(axis=(2, 3))  # [B, S]
+        level = jnp.abs(sb).mean(axis=(2, 3)) + 0.02
+        # mix-reconstruction anchor: the stems must still sum to the input
+        recon = jnp.abs(pred.sum(axis=1) - mb).mean()
+        return (err / level).mean() + 2.0 * recon
 
     @jax.jit
     def update(p, o, mb, sb):

@@ -43,6 +43,45 @@ def test_true_len_masks_wrap_padded_chord_tail():
     assert head_labels == {"C:maj"}, head_labels
 
 
+def test_crf_silence_gate_operating_range():
+    """The 0.05 relative-energy gate (runtime/fused.py 4b'): a near-silent
+    lead-in must NOT decode to a confident chord (it extends the neighbor
+    via the transition prior), while a quiet-but-real chord (20 dB below
+    the louder section) must still be decoded on its own evidence — the
+    gate threshold has to sit between those two regimes."""
+    from audiotabs_tpu.chords.extract import CHROMA_FPS
+    from audiotabs_tpu.models.crf_chords import LABELS
+    from audiotabs_tpu.runtime.fused import fused_analysis
+
+    sr = 22050
+    rng = np.random.default_rng(0)
+    # 2 s of near-silence (noise at -52 dB rel. to the chord), then C major
+    lead = (3e-4 * rng.standard_normal(2 * sr)).astype(np.float32)
+    y = np.concatenate([lead, _chord_tone((48, 52, 55), 3.0)])
+    out = jax.device_get(
+        fused_analysis(jnp.asarray(y), sr, chord_backend="deep", true_len=len(y))
+    )
+    path = np.asarray(out["crf_path"])
+    lead_frames = path[2 : int(1.8 * CHROMA_FPS)]
+    body = path[int(2.5 * CHROMA_FPS) : int(4.5 * CHROMA_FPS)]
+    # the lead-in must carry NO chord other than the body's (either N or
+    # the extended C:maj — never a hallucinated different chord)
+    assert set(np.unique(lead_frames)) <= {0} | set(np.unique(body)), (
+        [LABELS[s] for s in np.unique(lead_frames)]
+    )
+
+    # quiet A-minor (amp 0.1x the C-major section) must survive the gate
+    y2 = np.concatenate(
+        [_chord_tone((48, 52, 55), 3.0), _chord_tone((45, 48, 52), 3.0, amp=0.025)]
+    )
+    out2 = jax.device_get(
+        fused_analysis(jnp.asarray(y2), sr, chord_backend="deep", true_len=len(y2))
+    )
+    path2 = np.asarray(out2["crf_path"])
+    quiet = [LABELS[s] for s in path2[int(3.6 * CHROMA_FPS) : int(5.6 * CHROMA_FPS)]]
+    assert quiet.count("A:min") / len(quiet) >= 0.8, quiet
+
+
 def test_chord_backend_gates_decodes():
     from audiotabs_tpu.runtime.fused import fused_analysis
 

@@ -73,8 +73,10 @@ def test_program_config_single_source_of_truth():
     assert cfg["seg"] % hd.ALIGN == 0
     assert cfg["stride"] % hd.ALIGN == 0
     assert cfg["names"][cfg["drums_idx"]] == "drums"
-    # 4-source reduced checkpoint: priority resolves to "other"
-    assert cfg["names"][cfg["stem_idx"]] == "other"
+    # a 6-source checkpoint resolves the reference's first-priority GUITAR
+    # stem (demucs_sep.py:107-135); a 4-source one falls through to "other"
+    want = "guitar" if cfg["n_sources"] >= 6 else "other"
+    assert cfg["names"][cfg["stem_idx"]] == want
     assert "meta_segment" not in cfg["run_params"]
 
 
@@ -95,8 +97,43 @@ def test_separate_stems_device_shapes():
     sr = 22050
     y = (np.random.default_rng(1).standard_normal(sr) * 0.1).astype(np.float32)
     stems = hd.separate_stems_device(y, sr, shifts=1)
-    assert set(stems) == {"drums", "bass", "other", "vocals"}
+    cfg = hd.program_config(params, "htdemucs_6s", ["guitar"])
+    assert set(stems) == set(cfg["names"])
     for v in stems.values():
         assert isinstance(v, jax.Array)
         assert v.shape == (sr,)
         assert np.isfinite(np.asarray(v)).all()
+
+
+@pytest.mark.slow
+def test_guitar_stem_selected_on_synthetic_mix(tmp_path, monkeypatch):
+    """With a 6-source checkpoint, the pipeline must pick the GUITAR stem
+    for transcription on a full-band synthetic mix (reference priority
+    semantics: demucs_sep.py:107-135 + core/config.py:21-24)."""
+    import json
+
+    params = hd.load_params()
+    if params is None:
+        pytest.skip("no checked-in htdemucs checkpoint")
+    cfg = hd.program_config(params, "htdemucs_6s", ["guitar", "other", "vocals"])
+    if cfg["n_sources"] < 6:
+        pytest.skip("4-source checkpoint has no guitar stem")
+    from audiotabs_tpu.config import reload_settings
+    from audiotabs_tpu.io import write_wav
+    from audiotabs_tpu.runtime.pipeline import run_pipeline
+    from audiotabs_tpu.train.synth import synth_multitrack
+
+    monkeypatch.setenv("TRANSCRIPTION_MODE", "notes")
+    monkeypatch.setenv("PAD_SECONDS_BUCKET", "3")
+    reload_settings()
+    mix, _stems, _beats = synth_multitrack(
+        np.random.default_rng(4), 3.0, 44100, n_sources=6
+    )
+    wav = tmp_path / "band.wav"
+    write_wav(wav, mix.mean(axis=0).astype(np.float32), 44100)
+    job = tmp_path / "jobs" / "band"
+    for sub in ("input", "work", "out"):
+        (job / sub).mkdir(parents=True)
+    run_pipeline(job, wav)
+    bt = json.loads((job / "out" / "beat_times.json").read_text())
+    assert bt["stem_source"] == "guitar", bt["stem_source"]
