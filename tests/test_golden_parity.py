@@ -155,30 +155,79 @@ def test_golden_note_event_coverage(golden_available, golden_run):
         if any(op == rp and oe >= rt - 0.3 and ot <= re_ + 0.3 for ot, oe, op in ours):
             hit += 1
     recall = hit / len(ref)
-    assert recall >= 0.40, recall  # current ≈ 0.42
+    # ratcheted 0.40 → 0.70 (VERDICT r2 item 4 asked ≥0.55): the retrained
+    # beat BLSTM moved strum onsets onto the reference's grid; measured 0.83
+    # (20/24 — one strum at 4.08 s, the first A:min, still missed)
+    assert recall >= 0.70, recall
+
+
+OTHER_JOB_IDS = [
+    "3ce6a198a9ef448aa66bd6b0703f35c0",
+    "42fc534998874068a7b0318134d2f90d",
+    "7da7d8dc34af4e90a98adc642eb381d5",
+]
+
+
+def test_reference_inputs_are_one_recording():
+    """Every input WAV the reference ships — all four job dirs — is the SAME
+    byte-identical recording (md5 176319e8520eda79471167600cb007a7, Knockin'
+    On Heaven's Door per meta.json). The reference provides exactly ONE
+    accuracy anchor; the golden gates above therefore cover the reference's
+    entire shipped corpus, and cross-WAV assertions reduce to determinism."""
+    import hashlib
+
+    wavs = [GOLDEN / "input" / "upload.wav"] + [
+        Path(f"/root/reference/data/jobs/{j}/input/upload.wav") for j in OTHER_JOB_IDS
+    ]
+    if not all(w.exists() for w in wavs):
+        pytest.skip("reference inputs unavailable")
+    digests = {hashlib.md5(w.read_bytes()).hexdigest() for w in wavs}
+    assert len(digests) == 1, digests
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize(
-    "job_id",
-    [
-        "3ce6a198a9ef448aa66bd6b0703f35c0",
-        "42fc534998874068a7b0318134d2f90d",
-        "7da7d8dc34af4e90a98adc642eb381d5",
-    ],
-)
-def test_reference_wavs_robustness(job_id, tmp_path):
-    """The reference ships three more input WAVs with no outputs; they must
-    run end-to-end without crashing: non-empty score, sane tempo."""
-    wav = Path(f"/root/reference/data/jobs/{job_id}/input/upload.wav")
-    if not wav.exists():
-        pytest.skip("reference input unavailable")
-    from audiotabs_tpu.runtime.pipeline import run_pipeline
+def test_reference_wavs_determinism_and_sanity(golden_available, golden_run, tmp_path):
+    """VERDICT r2 item 8, reshaped by test_reference_inputs_are_one_recording:
+    the three extra reference jobs carry the same audio, so one fresh run in a
+    different job dir both exercises them and gates run-to-run determinism of
+    the key artifacts, plus chord non-degeneracy and beat-count sanity."""
+    import os
 
-    job = tmp_path / "jobs" / job_id
-    for sub in ("input", "work", "out"):
-        (job / sub).mkdir(parents=True)
-    result = run_pipeline(job, wav)
-    assert result.score is not None and len(result.score.measures) >= 1
-    assert 40 <= result.tempo_bpm <= 250
-    assert (job / "out" / "result.musicxml").exists()
+    _result, golden_job = golden_run
+    wav = Path(f"/root/reference/data/jobs/{OTHER_JOB_IDS[0]}/input/upload.wav")
+
+    os.environ["TRANSCRIPTION_MODE"] = "accompaniment"
+    from audiotabs_tpu.config import reload_settings
+
+    reload_settings()
+    try:
+        from audiotabs_tpu.runtime.pipeline import run_pipeline
+
+        job = tmp_path / "jobs" / "rerun"
+        for sub in ("input", "work", "out"):
+            (job / sub).mkdir(parents=True)
+        result = run_pipeline(job, wav)
+    finally:
+        os.environ.pop("TRANSCRIPTION_MODE", None)
+        reload_settings()
+
+    # determinism: identical musical artifacts run-to-run
+    for name in ("chords.json", "beat_times.json", "note_events.csv"):
+        assert (job / "out" / name).read_bytes() == (
+            golden_job / "out" / name
+        ).read_bytes(), f"{name} differs between runs"
+
+    # chord non-degeneracy: >1 distinct label, not mostly no-chord
+    segs = json.loads((job / "out" / "chords.json").read_text())
+    labels = [c["label"] for c in segs]
+    assert len({l for l in labels if l != "N"}) > 1, labels
+    dur = sum(c["end"] - c["start"] for c in segs)
+    n_dur = sum(c["end"] - c["start"] for c in segs if c["label"] == "N")
+    assert dur == 0 or n_dur / dur < 0.9
+
+    # beat-count sanity vs duration at the detected tempo
+    beats = json.loads((job / "out" / "beat_times.json").read_text())["raw_beat_times"]
+    audio_s = max(b for b in beats) if beats else 0.0
+    assert len(beats) >= 8 and audio_s > 5.0
+    expected = result.tempo_bpm / 60.0 * audio_s
+    assert 0.5 * expected <= len(beats) <= 2.0 * expected, (len(beats), expected)
