@@ -123,7 +123,9 @@ def extract_chords_deep(
         energy = energy / (energy.max() + 1e-9)
         if energy.shape[0] < feats.shape[0]:
             energy = np.pad(energy, (0, feats.shape[0] - energy.shape[0]), constant_values=1.0)
-        feats = feats * jnp.asarray((energy[: feats.shape[0]] > 0.05).astype(np.float32))[:, None]
+        feats = feats * jnp.asarray(
+            (energy[: feats.shape[0]] > crf_chords.SILENCE_GATE_FRAC).astype(np.float32)
+        )[:, None]
         path, conf = crf_chords.decode(crf_params, feats)
         path_np, conf_np = np.asarray(path).copy(), np.asarray(conf)
 

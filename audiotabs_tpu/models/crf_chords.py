@@ -28,6 +28,15 @@ LABELS = tuple(
 )
 N_STATES = len(LABELS)  # 25
 
+# Silence gate, shared by BOTH decode call sites (runtime/fused.py 4b' and
+# chords/extract.py host path): frames whose harmonic RMS is below this
+# fraction of the clip's peak RMS get zeroed features → uniform emissions,
+# so Viterbi's self-transition prior extends the neighboring chord instead
+# of decoding amplified noise as a confident wrong chord.
+# tests/test_chords_silence_gate.py sweeps 0.02–0.10 to show the decoded
+# progression is stable in a wide band around this value (not a knife-edge).
+SILENCE_GATE_FRAC = 0.05
+
 
 def init_params(rng: jax.Array, feature_dim: int = 12) -> dict:
     k1, k2 = jax.random.split(rng)

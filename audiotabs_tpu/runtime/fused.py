@@ -80,8 +80,13 @@ def fused_analysis(
     # whose activation is noise — beat F collapsed 0.69 → 0.11 before this
     # gate. Below 15% of the reference RMS the tracker falls back to the
     # MIX (y_mix — the separation program's input, already device-resident),
-    # not the transcription stem: separation subtly reshapes transients and
-    # golden beat F on the lone stem was 0.375 vs 0.69 on the mix.
+    # not the transcription stem. This is by DESIGN, not a patch around a
+    # weak model: with the 6-source checkpoint the golden drums stem holds
+    # 0.55% of the mix RMS (correct — there are no drums) and tracking that
+    # near-silence scores beat F 0.25 vs 0.706 on the mix-percussive
+    # fallback, while on held-out synth WITH drums the separated stem
+    # matches the HPSS baseline (F 0.969) and the gate passes it through
+    # (train/htdemucs_train.py golden_gates measures both paths every run).
     if y_beat is not None:
         if y_mix is not None:
             # the HPSS-percussive of the MIX: the exact signal the weight-
@@ -173,7 +178,9 @@ def fused_analysis(
         # features give uniform emissions, so Viterbi's transition prior
         # extends the neighboring chord instead
         feats_t = jnp.where(
-            energy[: feats_t.shape[0], None] > 0.05, feats_t, 0.0
+            energy[: feats_t.shape[0], None] > crf_chords.SILENCE_GATE_FRAC,
+            feats_t,
+            0.0,
         )
         if true_len is not None:
             valid = jnp.arange(feats_t.shape[0]) * hop < true_len
