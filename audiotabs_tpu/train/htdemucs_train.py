@@ -154,6 +154,8 @@ def train(
     bottom: int = 128,
     t_layers: int = 3,
     sources: int = 4,
+    resume: bool = False,
+    lr: float = 3e-4,
 ) -> dict:
     t0 = time.time()
     names = hd.MODEL_STEMS["htdemucs_6s"][:sources]
@@ -163,14 +165,25 @@ def train(
     val_m, val_s, val_beats = build_clips(8, seed + 31_000, n_sources=sources)
     print(f"dataset: {mixes.shape} mixes, stems {names} ({time.time()-t0:.0f}s)", flush=True)
 
-    params = hd.init_params(
-        jax.random.PRNGKey(seed), n_sources=sources,
-        channels=channels, bottom=bottom, t_layers=t_layers,
-    )
+    if resume and Path(out_path).exists():
+        # refinement run: continue from the shipped checkpoint (fresh
+        # optimizer, typically a lower peak lr). The same-arch SI-SDR
+        # ratchet below then refuses to overwrite with a worse separator.
+        prev = hd.load_params(out_path)
+        prev_sources = prev["tdecoder"][-1]["convtr_w"].shape[1] // 2
+        if prev_sources != sources:
+            raise ValueError(f"--resume checkpoint has {prev_sources} sources, asked {sources}")
+        params = jax.tree.map(jnp.asarray, {k: v for k, v in prev.items() if k != "meta_segment"})
+        print(f"resumed from {out_path}", flush=True)
+    else:
+        params = hd.init_params(
+            jax.random.PRNGKey(seed), n_sources=sources,
+            channels=channels, bottom=bottom, t_layers=t_layers,
+        )
     n_params = sum(np.prod(np.shape(x)) for x in jax.tree.leaves(params))
     print(f"model: {n_params/1e6:.2f}M params", flush=True)
 
-    sched = optax.cosine_decay_schedule(3e-4, steps, alpha=0.1)
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.1)
     opt = optax.adam(sched)
     opt_state = opt.init(params)
 
@@ -260,6 +273,21 @@ def train(
                     # beat path: it adds the guitar stem the 4-source
                     # checkpoint cannot produce
                 )
+            if old_sources == sources:
+                # same-arch ratchet (refinement runs): the candidate must
+                # also hold the transcription-stem SI-SDR on this val set
+                old_run = jax.tree.map(
+                    jnp.asarray, {k: v for k, v in old.items() if k != "meta_segment"}
+                )
+                fwd_old = jax.jit(lambda m: hd.forward(old_run, m, n_sources=sources))
+                old_tr = [
+                    si_sdr(np.asarray(fwd_old(jnp.asarray(val_m[i])))[trans_idx], val_s[i, trans_idx])
+                    for i in range(val_m.shape[0])
+                    if float(np.abs(val_s[i, trans_idx]).max()) > 1e-6
+                ]
+                old_tr_m = float(np.mean(old_tr)) if old_tr else -np.inf
+                print(f"existing checkpoint val {trans_name} SI-SDR: {old_tr_m:.3f}", flush=True)
+                gates_ok = gates_ok and ours_m.get(trans_name, -np.inf) >= old_tr_m - 0.25
 
     if gates_ok:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
@@ -283,11 +311,14 @@ def main(argv=None) -> int:
     ap.add_argument("--channels", type=int, default=16)
     ap.add_argument("--bottom", type=int, default=128)
     ap.add_argument("--t-layers", type=int, default=3)
+    ap.add_argument("--resume", action="store_true",
+                    help="init from the existing --out checkpoint (same arch)")
+    ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", default="audiotabs_tpu/weights/htdemucs.npz")
     args = ap.parse_args(argv)
     train(args.clips, args.steps, args.batch, args.seed, args.out,
           channels=args.channels, bottom=args.bottom, t_layers=args.t_layers,
-          sources=args.sources)
+          sources=args.sources, resume=args.resume, lr=args.lr)
     return 0
 
 
