@@ -45,10 +45,26 @@ from ..analysis.metrics import beat_f_measure as f_measure  # shared with the CI
 
 
 def build_dataset(n_clips: int, seed: int, sr: int = 22050, duration: float = 12.0):
-    """→ (features [N, T, D], targets [N, T], clips [(y, beats)])."""
+    """→ (features [N, T, D], targets [N, T], clips [(y, beats)]).
+
+    Cached under $TMPDIR keyed on (n_clips, seed): feature extraction pays
+    2 device round-trips per clip through the axon relay, whose latency
+    varies 30× day to day — a retrain or gate-tuning retry must not pay
+    the build twice (same pattern as crf_chords_train.build_dataset)."""
+    import os
+    import tempfile
+
     from ..ops.hpss import hpss
 
     from .synth import synth_beat_clip
+
+    cache_path = os.path.join(
+        tempfile.gettempdir(), f"beat_ds_{n_clips}_{seed}_{sr}_{duration}.npz"
+    )
+    if os.path.exists(cache_path):
+        d = np.load(cache_path)
+        clips = [(d[f"y{i}"], d[f"b{i}"]) for i in range(n_clips)]
+        return d["X"], d["Y"], clips
 
     rng = np.random.default_rng(seed)
     feats, targets, clips = [], [], []
@@ -71,6 +87,14 @@ def build_dataset(n_clips: int, seed: int, sr: int = 22050, duration: float = 12
     T = min(f.shape[0] for f in feats)
     X = np.stack([f[:T] for f in feats])
     Y = np.stack([t[:T] for t in targets])
+    try:
+        np.savez(
+            cache_path, X=X, Y=Y,
+            **{f"y{i}": clips[i][0] for i in range(n_clips)},
+            **{f"b{i}": clips[i][1] for i in range(n_clips)},
+        )
+    except OSError:
+        pass
     return X, Y, clips
 
 
