@@ -167,10 +167,21 @@ def beats_from_decoded(
         else:
             t += 1
     frames = np.asarray(frames, dtype=np.int64)
-    # suppress spurious beats in silent regions (madmom thresholds the
-    # activation under the decoded beat)
+    # suppress spurious beats in LEADING/TRAILING silence only — madmom's
+    # threshold trims the activation envelope at the edges before decoding
+    # (DBNBeatTrackingProcessor.threshold / threshold_activations); it
+    # never drops interior beats. Dropping interior low-activation beats
+    # (the old behavior) punched holes in quasi-periodic beat sequences
+    # wherever a soft fingerpicked beat fell below 5 % of the clip max:
+    # the golden WAV lost its 4.87 s beat that way (a 1.76 s gap the
+    # bar-pointer model itself can never produce).
     if threshold > 0 and frames.size:
-        frames = frames[act[frames] >= threshold * float(act.max())]
+        thr = threshold * float(act.max())
+        above = np.nonzero(act >= thr)[0]
+        if above.size:
+            frames = frames[(frames >= above[0]) & (frames <= above[-1] + 1)]
+        else:
+            frames = frames[:0]
     return (frames / float(fps)).astype(np.float32)
 
 

@@ -122,9 +122,14 @@ def _train_member(
     eval_f,
     golden_eval,
     t0: float,
+    base_members: tuple = (),
 ):
     """Train ONE BLSTM on its own dataset draw; snapshot-select on the
-    golden oracle (late epochs overfit synthetic timbres). → params."""
+    golden oracle (late epochs overfit synthetic timbres). When
+    ``base_members`` is non-empty the selection is GREEDY-FORWARD: the
+    snapshot that maximizes the golden F of the ENSEMBLE (base + this
+    member averaged) wins, not the best solo snapshot — a member only
+    earns its place by being complementary. → params."""
     X, Y, _ = build_dataset(n_clips, member_seed)
     mean = X.reshape(-1, X.shape[-1]).mean(axis=0)
     std = X.reshape(-1, X.shape[-1]).std(axis=0) + 1e-3
@@ -172,14 +177,30 @@ def _train_member(
             )
             ep_loss += float(loss)
         line = f"  epoch {epoch}: loss {ep_loss/steps_per_epoch:.4f}"
-        if epoch % 2 == 0 or epoch == epochs - 1:
-            vf = eval_f(_act_for(params))
-            gf = golden_eval(_act_for(params)) if golden_eval else None
-            snapshots.append((epoch, vf, gf, jax.tree.map(lambda a: a, params)))
-            line += f"  val F {vf:.3f}" + (f"  golden F {gf:.3f}" if gf is not None else "")
+        # snapshot EVERY epoch: golden F trajectories are non-monotone
+        # (members often peak within the first few epochs, then drift as
+        # they overfit synthetic timbres) and the even-epoch cadence was
+        # observed to skip the recovery points
+        vf = eval_f(_act_for(params))
+        gf = golden_eval(_act_for(params)) if golden_eval else None
+        snapshots.append((epoch, vf, gf, jax.tree.map(lambda a: a, params)))
+        line += f"  val F {vf:.3f}" + (f"  golden F {gf:.3f}" if gf is not None else "")
         print(line + f" ({time.time()-t0:.0f}s)", flush=True)
 
     viable = [s for s in snapshots if s[1] >= 0.85] or snapshots
+    if base_members and golden_eval is not None:
+        def _ens_golden(snap):
+            c = dict(base_members[0])
+            c["ensemble"] = list(base_members[1:]) + [snap]
+            return golden_eval(_act_for(c))
+
+        scored = [(e, vf, _ens_golden(p), p) for e, vf, _gf, p in viable]
+        epoch_b, vf, gf, best = max(scored, key=lambda s: (s[2], s[1]))
+        print(
+            f"  selected epoch {epoch_b} by ENSEMBLE golden F {gf:.3f} (val F {vf:.3f})",
+            flush=True,
+        )
+        return best
     epoch_b, vf, gf, best = max(
         viable, key=lambda s: (s[2] if s[2] is not None else s[1], s[1])
     )
@@ -199,6 +220,7 @@ def train(
     out_path: str = "audiotabs_tpu/weights/beat_rnn.npz",
     hidden: int = 25,
     ensemble: int = 3,
+    include_existing: bool = False,
 ) -> dict:
     t0 = time.time()
     Xv, Yv, val_clips = build_dataset(8, seed + 10_000)
@@ -234,11 +256,25 @@ def train(
             return f_measure(est, ref_beats)
 
     members = []
-    for j in range(max(1, ensemble)):
-        print(f"member {j + 1}/{ensemble}:", flush=True)
+    if include_existing and Path(out_path).exists():
+        # madmom-style growth: keep the shipped member(s) and train
+        # complementary ones — the save gate then requires that AVERAGING
+        # the new members in does not regress the golden oracle
+        existing = beat_rnn.load_params(str(out_path))
+        if existing is not None:
+            flat = [{k: v for k, v in existing.items() if k != "ensemble"}]
+            flat += list(existing.get("ensemble", []))
+            members.extend(flat)
+            print(f"seeded with {len(flat)} existing member(s)", flush=True)
+
+    n_new = max(1, ensemble) if not members else max(0, ensemble - len(members))
+    total = len(members) + n_new
+    for j in range(n_new):
+        print(f"member {len(members) + 1}/{total}:", flush=True)
         members.append(
             _train_member(
-                seed + 101 * j, n_clips, epochs, batch, hidden, eval_f, golden_eval, t0
+                seed + 101 * j, n_clips, epochs, batch, hidden, eval_f, golden_eval, t0,
+                base_members=tuple(members),
             )
         )
 
@@ -293,10 +329,12 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--hidden", type=int, default=25)
     ap.add_argument("--ensemble", type=int, default=3)
+    ap.add_argument("--include-existing", action="store_true",
+                    help="seed the ensemble with the shipped checkpoint's member(s)")
     ap.add_argument("--out", default="audiotabs_tpu/weights/beat_rnn.npz")
     args = ap.parse_args(argv)
     res = train(args.clips, args.epochs, args.batch, args.seed, args.out,
-                args.hidden, args.ensemble)
+                args.hidden, args.ensemble, include_existing=args.include_existing)
     return 0 if res["f_ens"] > 0 else 1
 
 
