@@ -278,6 +278,28 @@ def train(
             )
         )
 
+    # backward-prune on the golden oracle: greedy-forward has no "skip"
+    # option, so a member whose BEST snapshot still drags the ensemble
+    # down would otherwise ship (observed: a 3rd member took ensemble
+    # golden F 0.800 → 0.743). Drop members while dropping helps.
+    if golden_eval is not None and len(members) > 1:
+        def _g(subset):
+            c = dict(subset[0])
+            c["ensemble"] = list(subset[1:])
+            return golden_eval(_act_for(c))
+
+        improved = True
+        while improved and len(members) > 1:
+            g_full = _g(members)
+            improved = False
+            for i in range(len(members)):
+                rest = members[:i] + members[i + 1 :]
+                if _g(rest) > g_full + 1e-9:
+                    print(f"pruned member {i} (golden {g_full:.3f} → {_g(rest):.3f})", flush=True)
+                    members = rest
+                    improved = True
+                    break
+
     combined = dict(members[0])
     if len(members) > 1:
         combined["ensemble"] = members[1:]

@@ -105,10 +105,12 @@ def test_golden_beat_f_measure(golden_available, golden_run):
     our_beats = np.asarray(ours["raw_beat_times"], dtype=np.float64)
     assert our_beats.size
     f = beat_f_measure(our_beats, ref_beats, tol=0.07)
-    # trained-BLSTM operating point ≈ 0.71 (was 0.56 with the DSP flux
-    # activation); the gate protects against regression and ratchets up
-    # as the beat front end improves further
-    assert f >= 0.65, f
+    # ratchet history: 0.56 (DSP flux) → 0.71 (trained BLSTM) → 0.743
+    # (madmom-parity edge-only threshold recovered the soft 4.87 s beat)
+    # → 0.824 (2-member greedy-ensemble BLSTM, madmom-ensemble style);
+    # the gate protects against regression and ratchets up as the beat
+    # front end improves further
+    assert f >= 0.75, f
 
 
 @pytest.mark.slow
@@ -127,7 +129,11 @@ def test_golden_chord_overlap_score(golden_available, golden_run):
     ts = np.arange(0.0, 14.0, 0.05)
     agree = sum(1 for t in ts if label_at(ref, t) == label_at(ours, t))
     score = agree / len(ts)
-    assert score >= 0.75, score  # current ≈ 0.86
+    # the labels agree everywhere; the residual is beat-phase offset in the
+    # rubato intro (chords.json timelines are beat-offset-relative, so the
+    # overlap is coupled to beat parity — 0.85 → 0.914 when the ensemble
+    # beat grid converged toward madmom's)
+    assert score >= 0.85, score
 
 
 @pytest.mark.slow
@@ -156,8 +162,8 @@ def test_golden_note_event_coverage(golden_available, golden_run):
             hit += 1
     recall = hit / len(ref)
     # ratcheted 0.40 → 0.70 (VERDICT r2 item 4 asked ≥0.55): the retrained
-    # beat BLSTM moved strum onsets onto the reference's grid; measured 0.83
-    # (20/24 — one strum at 4.08 s, the first A:min, still missed)
+    # beat BLSTM moved strum onsets onto the reference's grid; measured
+    # 0.79-0.83 depending on the beat grid (19-20 of 24 reference events)
     assert recall >= 0.70, recall
 
 
