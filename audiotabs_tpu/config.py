@@ -47,9 +47,14 @@ class Settings:
     ENABLE_DEMUCS: bool = True
     DEMUCS_MODEL: str = "htdemucs_6s"
     DEMUCS_DEVICE: str = "auto"
-    # reference default is 2 (demucs_sep.py:26); 1 halves separation compute
-    # and the shift-averaging gain is below the noise floor of the reduced
-    # checkpoint's SI-SDR gates — env DEMUCS_SHIFTS=2 restores parity
+    # Reference default is 2 (demucs_sep.py:26). Measured tradeoff on the
+    # 6-source checkpoint (train/shifts_eval.py + bench.py, 2026-08-17):
+    # shift averaging buys +0.48 dB held-out guitar-stem SI-SDR
+    # (6.48 → 6.96) and identical golden stem routing (0.9698 vs 0.9695
+    # RMS frac), but costs ~1.8× pipeline wall on short songs (59 → 33
+    # audio-s/s/chip measured; separation compute sits on the fused
+    # analysis' critical path). Throughput-first default; DEMUCS_SHIFTS=2
+    # restores exact reference parity when quality is worth the wall.
     DEMUCS_SHIFTS: int = 1
     DEMUCS_OVERLAP: float = 0.25
     DEMUCS_SEGMENT_SEC: float = 7.8

@@ -660,6 +660,13 @@ def _up2(x):
     return out.reshape(*x.shape[:-1], M * 256)[..., : 2 * L]
 
 
+# max windows per vmapped forward inside _separate_program (see below).
+# 16 keeps a 30 s song un-chunked at shifts=2 (13 windows) and matches the
+# largest batch the remote AOT compiler has handled reliably (a 31-window
+# program compiled; ~60 windows crashed the compile helper).
+_FWD_CHUNK = 16
+
+
 @partial(jax.jit, static_argnames=("sr", "seg", "stride", "shifts", "n_sources"))
 def _separate_program(params, y, sr: int, seg: int, stride: int, shifts: int, n_sources: int):
     """y [L] mono at sr (MODEL_SR or MODEL_SR//2) → stems [n_sources, L]."""
@@ -682,7 +689,25 @@ def _separate_program(params, y, sr: int, seg: int, stride: int, shifts: int, n_
             windows.append(jax.lax.dynamic_slice_in_dim(shifted, o, seg, axis=1))
             metas.append(o - soff)
     batch = jnp.stack(windows)  # [B, 2, seg]
-    stems = jax.vmap(lambda m: forward(params, m, n_sources=n_sources))(batch)
+    # Bound the vmapped forward to fixed-size chunks via lax.map: a long
+    # song × shifts stacks 60+ windows, and vmapping the full dual-branch
+    # transformer over that batch blows up BOTH the remote AOT compile
+    # (observed: 180 s × shifts=2 → compile-helper subprocess crash) and
+    # activation memory. Chunking keeps compile cost and peak memory
+    # O(_FWD_CHUNK) regardless of song length while staying ONE dispatch.
+    B = batch.shape[0]
+    if B > _FWD_CHUNK:
+        pad = (-B) % _FWD_CHUNK
+        chunks = jnp.pad(batch, ((0, pad), (0, 0), (0, 0))).reshape(
+            -1, _FWD_CHUNK, 2, seg
+        )
+        stems = jax.lax.map(
+            lambda mb: jax.vmap(lambda m: forward(params, m, n_sources=n_sources))(mb),
+            chunks,
+        )
+        stems = stems.reshape(-1, *stems.shape[2:])[:B]
+    else:
+        stems = jax.vmap(lambda m: forward(params, m, n_sources=n_sources))(batch)
 
     tri = jnp.concatenate(
         [jnp.linspace(0.1, 1.0, seg // 2), jnp.linspace(1.0, 0.1, seg - seg // 2)]

@@ -137,3 +137,22 @@ def test_guitar_stem_selected_on_synthetic_mix(tmp_path, monkeypatch):
     run_pipeline(job, wav)
     bt = json.loads((job / "out" / "beat_times.json").read_text())
     assert bt["stem_source"] == "guitar", bt["stem_source"]
+
+
+def test_chunked_forward_matches_unchunked(tiny_params, monkeypatch):
+    """The _FWD_CHUNK-bounded lax.map path (long songs / shifts>1 stack more
+    windows than one vmapped forward may hold — a ~60-window program crashed
+    the remote AOT compiler) must be numerically identical to the single
+    full-batch vmap."""
+    L = 44100
+    y = (np.random.default_rng(1).standard_normal(L) * 0.1).astype(np.float32)
+    kw = dict(sr=44100, seg=8192, stride=6144, shifts=2, n_sources=4)
+    full = np.asarray(hd._separate_program(tiny_params, jnp.asarray(y), **kw))
+    monkeypatch.setattr(hd, "_FWD_CHUNK", 3)  # forces chunking + tail padding
+    hd._separate_program.clear_cache()
+    try:
+        chunked = np.asarray(hd._separate_program(tiny_params, jnp.asarray(y), **kw))
+    finally:
+        hd._separate_program.clear_cache()
+    rel = np.abs(chunked - full).max() / (np.abs(full).max() + 1e-9)
+    assert rel < 1e-5, rel
