@@ -267,16 +267,31 @@ def train(
             members.extend(flat)
             print(f"seeded with {len(flat)} existing member(s)", flush=True)
 
+    def _ens_golden_of(subset):
+        c = dict(subset[0])
+        c["ensemble"] = list(subset[1:])
+        return golden_eval(_act_for(c)) if golden_eval else None
+
     n_new = max(1, ensemble) if not members else max(0, ensemble - len(members))
     total = len(members) + n_new
     for j in range(n_new):
         print(f"member {len(members) + 1}/{total}:", flush=True)
-        members.append(
-            _train_member(
-                seed + 101 * j, n_clips, epochs, batch, hidden, eval_f, golden_eval, t0,
-                base_members=tuple(members),
-            )
+        cand = _train_member(
+            seed + 101 * j, n_clips, epochs, batch, hidden, eval_f, golden_eval, t0,
+            base_members=tuple(members),
         )
+        # skip-before-append: a candidate whose BEST snapshot still lowers
+        # the ensemble's golden F must not join the base — appending it
+        # anyway (observed with two non-complementary draws) distorts the
+        # greedy selection of every LATER member, which then optimizes an
+        # ensemble containing the bad member
+        if members and golden_eval is not None:
+            g_base = _ens_golden_of(members)
+            g_with = _ens_golden_of(members + [cand])
+            if g_with < g_base - 1e-9:
+                print(f"  skipped: ensemble golden {g_base:.3f} → {g_with:.3f}", flush=True)
+                continue
+        members.append(cand)
 
     # backward-prune on the golden oracle: greedy-forward has no "skip"
     # option, so a member whose BEST snapshot still drags the ensemble
