@@ -123,6 +123,7 @@ def _train_member(
     golden_eval,
     t0: float,
     base_members: tuple = (),
+    pos_weight: float = 18.0,
 ):
     """Train ONE BLSTM on its own dataset draw; snapshot-select on the
     golden oracle (late epochs overfit synthetic timbres). When
@@ -146,7 +147,6 @@ def _train_member(
     sched = optax.cosine_decay_schedule(2e-3, total_steps, alpha=0.05)
     opt = optax.adam(sched)
     opt_state = opt.init(params)
-    pos_weight = 18.0
 
     def loss_fn(p, xb, yb):
         act = jax.vmap(lambda x: beat_rnn.blstm_apply(p, x))(xb)  # [B, W]
@@ -275,10 +275,18 @@ def train(
     n_new = max(1, ensemble) if not members else max(0, ensemble - len(members))
     total = len(members) + n_new
     for j in range(n_new):
-        print(f"member {len(members) + 1}/{total}:", flush=True)
+        # diversify the training operating point madmom-style: members with
+        # different positive-class weights trade recall vs precision of the
+        # activation differently, which is where complementarity comes from
+        # (fresh seeds at the same operating point converged to near-
+        # identical behavior and were pruned)
+        # start at 9.0: the shipped members were trained at 18.0, so growth
+        # runs explore the unvisited operating points first
+        pw = (9.0, 30.0, 13.0, 18.0)[j % 4]
+        print(f"member {len(members) + 1}/{total} (pos_weight {pw}):", flush=True)
         cand = _train_member(
             seed + 101 * j, n_clips, epochs, batch, hidden, eval_f, golden_eval, t0,
-            base_members=tuple(members),
+            base_members=tuple(members), pos_weight=pw,
         )
         # skip-before-append: a candidate whose BEST snapshot still lowers
         # the ensemble's golden F must not join the base — appending it
