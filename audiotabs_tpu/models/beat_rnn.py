@@ -329,9 +329,11 @@ def beat_activation(y, sr: int, fps: int = FPS_DEFAULT, params: dict | None = No
     (the madmom RNN-vs-spectral-flux duality, reference grid/beats.py:71-82).
 
     A checkpoint with extra "ensemble" members averages all members'
-    activations, madmom-style (RNNBeatProcessor averages 8 BLSTMs): the
-    members share shapes, so they run as ONE vmapped forward over a stacked
-    parameter pytree — an ensemble costs one batched pass, not N passes."""
+    activations, madmom-style (RNNBeatProcessor averages 8 BLSTMs).
+    Members are grouped by parameter-shape signature and each group runs as
+    ONE vmapped forward over a stacked parameter pytree — a same-shape
+    ensemble costs one batched pass, and architecture-diverse members
+    (madmom's nets differ too) cost one pass per distinct shape."""
     p = params if params is not None else trained_params()
     if p is not None:
         feats = spectral_features(y, sr, fps)
@@ -341,7 +343,17 @@ def beat_activation(y, sr: int, fps: int = FPS_DEFAULT, params: dict | None = No
         ]
         if len(members) == 1:
             return blstm_apply_chunked(p, feats)
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
-        acts = jax.vmap(lambda m: blstm_apply_chunked(m, feats))(stacked)
-        return acts.mean(axis=0)
+        groups: dict = {}
+        for m in members:
+            leaves, treedef = jax.tree_util.tree_flatten(m)
+            sig = (str(treedef), tuple(np.shape(l) for l in leaves))
+            groups.setdefault(sig, []).append(m)
+        acts = []
+        for group in groups.values():
+            if len(group) == 1:
+                acts.append(blstm_apply_chunked(group[0], feats)[None])
+            else:
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+                acts.append(jax.vmap(lambda m: blstm_apply_chunked(m, feats))(stacked))
+        return jnp.concatenate(acts, axis=0).mean(axis=0)
     return onset_activation(y, sr, fps)

@@ -73,11 +73,32 @@ def template_emission_params() -> dict:
     }
 
 
+def context_stack(feats, width: int):
+    """[T, D] → [T, D*width]: concat the ±(width//2) neighboring frames
+    (zero-padded at the edges) so the emission layer sees temporal context.
+    width=1 is the identity. All-zero (silence-gated) runs stay all-zero,
+    preserving the uniform-emission contract away from chord boundaries."""
+    if width == 1:
+        return feats
+    half = width // 2
+    padded = jnp.pad(feats, ((half, half), (0, 0)))
+    T = feats.shape[0]
+    return jnp.concatenate([padded[k : k + T] for k in range(width)], axis=-1)
+
+
 @jax.jit
 def decode(params: dict, feats):
-    """feats [T, D] → (state path [T], confidence [T])."""
+    """feats [T, D] → (state path [T], confidence [T]).
+
+    If the checkpoint's emission matrix expects a multiple of D input
+    features, the context window is built here so ALL call sites (the fused
+    program, the host chords path, the trainer) share one definition.
+    """
     from ..decode.viterbi import viterbi_log_dense
 
+    d_in = params["emit_w"].shape[0]
+    if d_in != feats.shape[-1] and d_in % feats.shape[-1] == 0:
+        feats = context_stack(feats, d_in // feats.shape[-1])
     logits = feats @ params["emit_w"] + params["emit_b"]
     log_em = jax.nn.log_softmax(logits, axis=-1)
     path, _score = viterbi_log_dense(log_em, params["transitions"], params["initial"])

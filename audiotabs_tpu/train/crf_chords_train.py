@@ -15,21 +15,23 @@ G/D/Am/C progression with overlap >= 0.86 through the production decode
 existing checkpoint that scores higher on the golden overlap.
 
 WHY NO CHECKPOINT SHIPS (round-3 finding, measured): every trained
-candidate LOSES to the analytic template emissions on BOTH axes —
-held-out decode accuracy 0.960-0.962 vs template 0.968 (from-zero,
+candidate LOSES to the analytic template emissions on held-out decode
+accuracy — 0.960-0.962 vs template 0.968 for the 12-d emission (from-zero,
 template-init fine-tune, prior/bigram transitions, tau-sharpened, and
 tau×alpha template-blended variants all tried; selection on its own
-30-clip split), and golden-WAV overlap 0.932 vs template 0.996. The
-structural reason: the production feature is the trained DeepChroma DNN's
-chroma, which is itself optimized to emit chord-tone mass, so the
-chord-template readout is already the right decision structure; a
-300-parameter logistic regression fit on synthetic clips only adds
-estimation noise to it. The production "deep" backend therefore keeps the
-full CRF decode (models/crf_chords.decode — the real Viterbi over learned-
-feature emissions, matching deep_chords.py:63-82 capability) with
-analytically-derived emission weights, and this trainer stands ready to
-ship a checkpoint the day its gates pass (e.g. with richer emission
-features).
+30-clip split), 0.960 at ctx=3 (±1-frame context window, 80 clips), and
+0.964 at ctx=3 with 3x the data (240 clips; golden overlap ties the
+template's 0.996 only by blending 75% template). The structural reason:
+the production feature is the trained DeepChroma DNN's chroma, which is
+itself optimized to emit chord-tone mass, so the chord-template readout is
+already the right decision structure; a logistic regression fit on
+synthetic clips only adds estimation noise to it. The production "deep"
+backend therefore keeps the full CRF decode (models/crf_chords.decode —
+the real Viterbi over learned-feature emissions, matching
+deep_chords.py:63-82 capability) with analytically-derived emission
+weights, and this trainer stands ready to ship a checkpoint the day its
+gates pass (the save gate is template-relative on BOTH axes, so a shipped
+checkpoint can only improve production).
 
 Usage:
     python -m audiotabs_tpu.train.crf_chords_train \
@@ -135,7 +137,7 @@ def _transitions_from_bigrams(seqs, alpha: float = 1.0) -> np.ndarray:
 def _decode_accuracy(params, X_clips, Y_clips) -> float:
     accs = []
     for ch, st in zip(X_clips, Y_clips):
-        path, _ = cc.decode(params, jnp.asarray(ch))
+        path, _ = cc.decode(params, jnp.asarray(ch))  # decode context-stacks as needed
         mask = st > 0
         if mask.any():
             accs.append(float((np.asarray(path)[mask] == st[mask]).mean()))
@@ -185,6 +187,10 @@ def _golden_gate(params):
     return agree / len(ts), prog_ok
 
 
+def _ctx_stack_np(ch: np.ndarray, width: int) -> np.ndarray:
+    return np.asarray(cc.context_stack(jnp.asarray(ch), width))
+
+
 def train(
     n_clips: int = 60,
     steps: int = 2000,
@@ -193,6 +199,7 @@ def train(
     out_path: str = "audiotabs_tpu/weights/crf_chords.npz",
     init: str = "template",
     trans: str = "bigram",
+    ctx: int = 3,
 ) -> dict:
     t0 = time.time()
     dc_params = dc.load_params()
@@ -200,9 +207,12 @@ def train(
         print("DeepChroma weights required (the CRF's production features)", flush=True)
         return {}
     X_clips, Y_clips = build_dataset(n_clips, seed, dc_params)
-    X = np.concatenate(X_clips)
+    # CE training needs the per-frame feature the emission layer actually
+    # sees: the ±(ctx//2)-frame context window (crf_chords.context_stack,
+    # the same op decode applies at inference)
+    X = np.concatenate([_ctx_stack_np(x, ctx) for x in X_clips])
     Y = np.concatenate(Y_clips)
-    print(f"dataset: {X.shape} frames ({time.time()-t0:.0f}s)", flush=True)
+    print(f"dataset: {X.shape} frames, ctx={ctx} ({time.time()-t0:.0f}s)", flush=True)
 
     # emit_b stays ZERO: the production silence/true_len gate zeroes feature
     # rows and relies on 0 @ w + b being uniform so Viterbi extends the
@@ -213,11 +223,18 @@ def train(
     # fine-tune — the trained model then dominates the template baseline it
     # must beat at the save gate, instead of having to rediscover it from
     # zero (a from-zero run plateaued at val 0.959 vs template 0.968)
+    # context-lifted template weights: template on the CENTER frame, zero on
+    # the neighbors — the trained model starts exactly AT the analytic
+    # baseline it must beat, and gradients can only add information the
+    # templates lack (boundary context)
+    w_tmpl_center = np.asarray(cc.template_emission_params()["emit_w"])
+    w_tmpl = np.zeros((12 * ctx, cc.N_STATES), np.float32)
+    w_tmpl[12 * (ctx // 2) : 12 * (ctx // 2 + 1)] = w_tmpl_center
     if init == "template":
-        emit_w = jnp.asarray(np.asarray(cc.template_emission_params()["emit_w"]))
+        emit_w = jnp.asarray(w_tmpl)
         lr = 1e-2
     else:
-        emit_w = jnp.asarray(np.zeros((12, cc.N_STATES), np.float32))
+        emit_w = jnp.asarray(np.zeros((12 * ctx, cc.N_STATES), np.float32))
         lr = 5e-2
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
     opt = optax.adam(sched)
@@ -245,8 +262,6 @@ def train(
         trans_m = _transitions_from_bigrams(Y_clips)
     else:  # the analytic self-transition-heavy prior
         trans_m = np.asarray(cc.template_emission_params()["transitions"])
-
-    w_tmpl = np.asarray(cc.template_emission_params()["emit_w"])
 
     def cand(tau: float, alpha: float) -> dict:
         # MAP-style emission: analytic template prior blended with the
@@ -294,9 +309,18 @@ def train(
     )
 
     g_overlap, g_prog = _golden_gate(trained)
+    golden_ok = True
     if g_overlap is not None:
-        print(f"golden: overlap {g_overlap:.3f} progression={'ok' if g_prog else 'FAIL'}", flush=True)
-    golden_ok = g_overlap is None or (g_overlap >= 0.86 and g_prog)
+        # shipping a checkpoint switches production OFF the analytic
+        # templates, so the bar is the templates' own golden score, not an
+        # absolute threshold: the trained CRF must match or beat them here
+        g_tmpl, _ = _golden_gate(cc.template_emission_params())
+        print(
+            f"golden: overlap {g_overlap:.3f} (template {g_tmpl:.3f}) "
+            f"progression={'ok' if g_prog else 'FAIL'}",
+            flush=True,
+        )
+        golden_ok = g_prog and g_overlap >= g_tmpl - 1e-6
 
     ratchet_ok = True
     if g_overlap is not None and Path(out_path).exists():
@@ -326,9 +350,11 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="audiotabs_tpu/weights/crf_chords.npz")
     ap.add_argument("--init", choices=["template", "zero"], default="template")
     ap.add_argument("--trans", choices=["bigram", "prior"], default="bigram")
+    ap.add_argument("--ctx", type=int, default=3,
+                    help="context window (frames) for the emission features")
     args = ap.parse_args(argv)
     train(args.clips, args.steps, args.batch, args.seed, args.out,
-          init=args.init, trans=args.trans)
+          init=args.init, trans=args.trans, ctx=args.ctx)
     return 0
 
 

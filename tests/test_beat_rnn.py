@@ -40,3 +40,24 @@ def test_beat_activation_uses_blstm_when_params_given(sine_wave):
     # different paths → different outputs
     n = min(len(act_nn), len(act_dsp))
     assert not np.allclose(act_nn[:n], act_dsp[:n])
+
+
+def test_beat_activation_heterogeneous_ensemble(sine_wave):
+    """madmom's 8-net ensemble mixes architectures; ours must too. Members
+    with DIFFERENT hidden sizes are grouped by shape signature and their
+    activations averaged — the result equals the mean of the members' solo
+    activations."""
+    y, sr = sine_wave
+    feats = spectral_features(jnp.asarray(y), sr, 100)
+    m25 = init_params(jax.random.PRNGKey(0), feats.shape[-1], hidden=25)
+    m25b = init_params(jax.random.PRNGKey(1), feats.shape[-1], hidden=25)
+    m40 = init_params(jax.random.PRNGKey(2), feats.shape[-1], hidden=40)
+    combined = dict(m25)
+    combined["ensemble"] = [m25b, m40]
+    act = np.asarray(beat_activation(jnp.asarray(y), sr, 100, params=combined))
+    solo = [
+        np.asarray(beat_activation(jnp.asarray(y), sr, 100, params=m))
+        for m in (m25, m25b, m40)
+    ]
+    assert act.shape == solo[0].shape
+    assert np.allclose(act, np.mean(solo, axis=0), atol=1e-5)

@@ -34,6 +34,41 @@ def test_crf_chords_template_emissions():
     assert np.asarray(conf).min() > 0
 
 
+def test_crf_chords_context_checkpoint_decode():
+    """A checkpoint whose emission matrix is a multiple of the feature dim
+    decodes through the SAME context window the trainer used: decode must
+    context-stack [T, 12] → [T, 36] itself, and a context-lifted template
+    (template on the center frame, zeros on the neighbors) must reproduce
+    the plain template decode exactly."""
+    from audiotabs_tpu.models.crf_chords import (
+        context_stack,
+        decode,
+        template_emission_params,
+    )
+
+    T = 40
+    chroma = np.zeros((T, 12), dtype=np.float32)
+    chroma[:20, [0, 4, 7]] = 1.0
+    chroma[20:, [7, 11, 2]] = 1.0
+    chroma /= np.linalg.norm(chroma, axis=1, keepdims=True)
+
+    # context_stack: identity at width 1; zero rows with zero neighbors stay
+    # zero (the silence-gate uniform-emission contract)
+    assert np.allclose(np.asarray(context_stack(jnp.asarray(chroma), 1)), chroma)
+    z = context_stack(jnp.zeros((5, 12)), 3)
+    assert z.shape == (5, 36) and not np.asarray(z).any()
+
+    base = template_emission_params()
+    lifted = dict(base)
+    w = np.zeros((36, 25), dtype=np.float32)
+    w[12:24] = np.asarray(base["emit_w"])
+    lifted["emit_w"] = jnp.asarray(w)
+    p0, c0 = decode(base, jnp.asarray(chroma))
+    p1, c1 = decode(lifted, jnp.asarray(chroma))
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))
+    assert np.allclose(np.asarray(c0), np.asarray(c1), atol=1e-6)
+
+
 def test_deep_chord_backend_end_to_end(sine_wave):
     from audiotabs_tpu.chords import extract_chords
 
