@@ -106,6 +106,26 @@ def test_pipeline_accompaniment_mode(melody_wav, tmp_path, monkeypatch):
     assert (job_dir / "out" / "chords.json").exists()
 
 
+def test_pipeline_silence_degrades_gracefully(tmp_path):
+    """Pure silence must produce a valid, empty-ish result — no-chord
+    segments, no error, a well-formed (if empty) score — exercising every
+    stage's degradation path at once (the reference degrades per-stage via
+    try/except, SURVEY §5; silence is the all-stages-at-once case)."""
+    from audiotabs_tpu.runtime.pipeline import run_pipeline
+
+    p = tmp_path / "silence.wav"
+    write_wav(p, np.zeros(22050 * 10, np.float32), 22050)
+    job_dir = tmp_path / "jobs" / "silence"
+    for sub in ("input", "work", "out"):
+        (job_dir / sub).mkdir(parents=True)
+    result = run_pipeline(job_dir, p)
+    assert result.transcription_error is None
+    assert result.tempo_bpm > 0
+    assert {c.label for c in result.chords} <= {"N"}
+    assert result.score is not None
+    assert (job_dir / "out" / "chords.json").exists()
+
+
 def test_pipeline_rejects_tiny_input(tmp_path):
     from audiotabs_tpu.runtime.pipeline import run_pipeline
 
