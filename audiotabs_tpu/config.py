@@ -103,6 +103,13 @@ class Settings:
     MESH_AXES: str = "data"       # axis names matching MESH_SHAPE
     COMPUTE_DTYPE: str = "bfloat16"
     PAD_SECONDS_BUCKET: float = 30.0  # songs padded to multiples of this to bound recompiles
+    # max songs per device per batched dispatch: the sharded batch program
+    # inlines each local song's full separation+analysis, and past ~8 local
+    # songs the program exceeds what the remote TPU compile helper accepts
+    # (measured: local 8 w/ separation = 60 MB MLIR, compile HTTP 500;
+    # local 4 compiles and runs 84 audio-s/s warm). Larger batches are
+    # chunked into dispatches of this many songs per device.
+    BATCH_SONGS_PER_DEVICE: int = 4
     PROFILE_DIR: str = ""         # if set, jax profiler traces per stage
 
     @classmethod

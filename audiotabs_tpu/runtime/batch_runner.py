@@ -142,12 +142,18 @@ def _resolve_separation(s, sr: int):
     return sep_cfg, hd.device_params(params), cfg["names"][cfg["stem_idx"]]
 
 
-def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None, true_lens=None):
-    """[B, T] → fused feature dict with a leading B axis, sharded over "data".
+def batched_fused_analysis_stream(batch: np.ndarray, sr: int, mesh=None, true_lens=None):
+    """Yield (start_row, host feature dict) per device dispatch.
 
-    B must be a multiple of the mesh's data-axis size (pad with zero rows
-    and drop them after if needed). ``true_lens`` [B] (samples) masks each
-    song's chord decode past its true end (defaults to the full row).
+    Batches larger than n_dev × BATCH_SONGS_PER_DEVICE are split into
+    multiple dispatches of ONE compiled shape: the per-device program
+    inlines every local song's separation+analysis, and past ~8 local songs
+    it exceeds what the remote TPU compile helper accepts — chunking bounds
+    program size. ALL dispatches are enqueued before the first blocking
+    device_get (dispatches are async), so the device pipeline stays full
+    while the caller consumes earlier chunks — host post-processing of
+    chunk i overlaps device compute of chunk i+1. Pad rows (dispatch-shape
+    alignment) are cropped from the yielded chunks.
     """
     mesh = mesh or default_mesh()
     n_dev = mesh.shape["data"]
@@ -155,14 +161,17 @@ def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None, true_lens=None
     if true_lens is None:
         true_lens = np.full((B,), batch.shape[1], dtype=np.int32)
     true_lens = np.asarray(true_lens, dtype=np.int32)
-    pad_rows = (-B) % n_dev
+
+    s = config.settings
+    chunk = n_dev * max(1, int(s.BATCH_SONGS_PER_DEVICE))
+    chunk = min(chunk, B + ((-B) % n_dev))  # don't pad a small batch up to a full chunk
+    pad_rows = (-B) % chunk
     if pad_rows:
         batch = np.concatenate([batch, np.zeros((pad_rows,) + batch.shape[1:], batch.dtype)])
         true_lens = np.concatenate([true_lens, np.full((pad_rows,), batch.shape[1], np.int32)])
 
     # real htdemucs separation when the checkpoint exists (same priority
     # logic as the single-song pipeline); else the weight-free HPSS fallback
-    s = config.settings
     backend = s.CHORD_DETECTION_BACKEND
     sep_cfg, sep_params, stem_name = _resolve_separation(s, sr)
     fn = _batched_fn(
@@ -170,12 +179,33 @@ def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None, true_lens=None
         backend if backend in ("deep", "template") else "both",
         sep_cfg,
     )
-    device_batch = jax.device_put(jnp.asarray(batch), NamedSharding(mesh, P("data", None)))
-    device_lens = jax.device_put(jnp.asarray(true_lens), NamedSharding(mesh, P("data")))
-    host = jax.device_get(fn(sep_params, device_batch, device_lens))
-    if pad_rows:
-        host = {k: v[:B] for k, v in host.items()}
-    return host
+    outs = []
+    for a in range(0, batch.shape[0], chunk):
+        device_batch = jax.device_put(
+            jnp.asarray(batch[a : a + chunk]), NamedSharding(mesh, P("data", None))
+        )
+        device_lens = jax.device_put(
+            jnp.asarray(true_lens[a : a + chunk]), NamedSharding(mesh, P("data"))
+        )
+        outs.append(fn(sep_params, device_batch, device_lens))
+    for idx, o in enumerate(outs):
+        host = jax.device_get(o)
+        a = idx * chunk
+        n = min(chunk, B - a)
+        yield a, {k: v[:n] for k, v in host.items()}
+
+
+def batched_fused_analysis(batch: np.ndarray, sr: int, mesh=None, true_lens=None):
+    """[B, T] → fused feature dict with a leading B axis, sharded over "data".
+
+    ``true_lens`` [B] (samples) masks each song's chord decode past its true
+    end (defaults to the full row). See batched_fused_analysis_stream for
+    the dispatch-chunking contract; this wrapper concatenates the chunks.
+    """
+    parts = [h for _a, h in batched_fused_analysis_stream(batch, sr, mesh, true_lens)]
+    if len(parts) == 1:
+        return parts[0]
+    return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
 
 
 def _postprocess_one(
@@ -205,13 +235,7 @@ def transcribe_batch(
     batch, true_lens, sr = _load_and_bucket(paths, config.settings.PAD_SECONDS_BUCKET)
     t_load = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    feats = batched_fused_analysis(batch, sr, mesh, true_lens=true_lens)
     _cfg, _params, batch_stem_source = _resolve_separation(config.settings, sr)
-    t_device = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    results: list[JobResult] = []
 
     # unique job ids even when different directories share a filename
     stems = [p.stem for p in paths]
@@ -219,24 +243,35 @@ def transcribe_batch(
         stem if stems.count(stem) == 1 else f"{stem}-{i}" for i, stem in enumerate(stems)
     ]
 
-    def one(i: int) -> JobResult:
+    def one(i: int, feats_i: dict) -> JobResult:
         job_id = job_ids[i]
         job_dir = out_root / "jobs" / job_id
         for sub in ("input", "work", "out"):
             (job_dir / sub).mkdir(parents=True, exist_ok=True)
-        feats_i = {k: np.asarray(v[i]) for k, v in feats.items()}
         return _postprocess_one(
             feats_i, true_lens[i], sr, job_dir, job_id, stem_source=batch_stem_source
         )
 
+    # stream: submit each dispatch chunk's songs to the host pool as soon as
+    # its transfer lands, so host post-processing of chunk i overlaps device
+    # compute + transfer of chunk i+1 (wall ≈ max(device, host), not sum)
+    t0 = time.perf_counter()
+    futures = []
     with ThreadPoolExecutor(max_workers=host_workers) as pool:
-        results = list(pool.map(one, range(len(paths))))
-    t_host = time.perf_counter() - t0
+        for a, feats_chunk in batched_fused_analysis_stream(
+            batch, sr, mesh, true_lens=true_lens
+        ):
+            n = next(iter(feats_chunk.values())).shape[0]
+            for j in range(min(n, len(paths) - a)):
+                feats_i = {k: np.asarray(v[j]) for k, v in feats_chunk.items()}
+                futures.append(pool.submit(one, a + j, feats_i))
+        results = [f.result() for f in futures]
+    t_run = time.perf_counter() - t0
 
     total_audio = sum(true_lens) / sr
-    wall = t_load + t_device + t_host
+    wall = t_load + t_run
     _LOG.info(
-        "batch: %d songs, %.0fs audio in %.2fs (load %.2f device %.2f host %.2f) = %.1f audio-s/s",
-        len(paths), total_audio, wall, t_load, t_device, t_host, total_audio / wall,
+        "batch: %d songs, %.0fs audio in %.2fs (load %.2f device+host overlapped %.2f) = %.1f audio-s/s",
+        len(paths), total_audio, wall, t_load, t_run, total_audio / wall,
     )
     return results

@@ -182,7 +182,8 @@ def pick_best_beat_times(note_events, beat_times, *, time_signature: str = "4/4"
             continue
         try:
             q = quantize_note_events_to_score(
-                events, tempo_bpm=120.0, beat_times=cand, time_signature=time_signature
+                events, tempo_bpm=120.0, beat_times=cand,
+                time_signature=time_signature, with_tab=False,
             )
             cost = score_complexity_cost(q.score)
             # tempo prior: the tracker's range is 55-215 BPM; a candidate

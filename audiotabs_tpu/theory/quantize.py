@@ -252,6 +252,7 @@ def quantize_note_events_to_score(
     snap_to_grid: bool = True,
     merge_gap_s: float = 0.02,
     guitar_tuning: str = "standard",
+    with_tab: bool = True,
 ) -> QuantizeResult:
     key_est = estimate_key_from_events(note_events)
     key_sig = key_est.to_schema() if key_est else None
@@ -379,8 +380,18 @@ def quantize_note_events_to_score(
     )
     score = ScoreData(grid_q=grid_q, grid_kind=grid_kind, measures=measures)
 
-    # 6. DP tab assignment over the pitched items
+    # 6. DP tab assignment over the pitched items. Callers that only need
+    # the notation (the half/double-time beat-grid selection scores
+    # readability over 3 candidate grids per song) skip the DP — it is the
+    # single most expensive host stage and its result is discarded there.
     tab_positions: list[list[list[tuple[int, int]]]] | None = None
+    if not with_tab:
+        return QuantizeResult(
+            score=score,
+            key_signature=key_sig,
+            pickup_quarters=pickup_quarters,
+            tab_positions=None,
+        )
     try:
         tuning = get_tuning(guitar_tuning)
         opt_events: list[tuple[float, list[int], str | None]] = []

@@ -7,7 +7,16 @@ trained here on synthesized music with exactly-known beat grids
 (train/synth.py — tempo drift, swing, fills, legato, fingerpicking).
 ``--ensemble N`` trains N members on independently drawn datasets and
 different inits, then ships ONE checkpoint whose members are averaged at
-inference (beat_rnn.beat_activation runs them as one vmapped pass).
+inference (beat_rnn.beat_activation runs them as one vmapped pass; mixed
+hidden sizes are supported and grouped by shape).
+
+Diversity axes explored for member 3+ against the shipped 2-member
+ensemble (golden F 0.800 in this harness / 0.824 at the test gate): fresh
+seeds, pos_weight 9/30 operating points, and a hidden-64 architecture —
+every candidate's best snapshot LOWERED the ensemble golden F (0.743,
+0.686, 0.743) and was skipped by the complementarity gate. The plateau is
+the synth-to-real domain gap, not ensemble capacity; the next real lever
+is training-data realism, not more members.
 
 Save gates: the ENSEMBLE's held-out F must beat the DSP spectral-flux
 baseline, its golden-WAV F (production HPSS-percussive input, madmom's own

@@ -167,3 +167,45 @@ def test_batch_with_separation(song_files, tmp_path, monkeypatch):
             (tmp_path / "jobs" / f"song{i}" / "out" / "beat_times.json").read_text()
         )
         assert bt["stem_source"] not in ("mix", "hpss_harmonic")
+
+
+def test_batch_chunked_dispatch_matches_single_dispatch(monkeypatch):
+    """BATCH_SONGS_PER_DEVICE bounds the per-dispatch program size (the
+    remote TPU compile helper rejects programs with too many local songs
+    inlined). Chunked dispatches must return exactly what one big dispatch
+    returns."""
+    monkeypatch.setenv("PAD_SECONDS_BUCKET", "2")
+    monkeypatch.setenv("HTDEMUCS_WEIGHTS", "off")
+    from audiotabs_tpu.config import reload_settings
+
+    from audiotabs_tpu.parallel.mesh import make_mesh
+    from audiotabs_tpu.runtime.batch_runner import batched_fused_analysis
+
+    sr = 22050
+    rng = np.random.default_rng(3)
+    t = np.arange(sr * 2) / sr
+    batch = np.stack(
+        [
+            (0.3 * np.sin(2 * np.pi * 220 * 2 ** (i / 12.0) * t)
+             + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+            for i in range(6)
+        ]
+    )
+    lens = np.array([len(t)] * 5 + [len(t) // 2], np.int32)
+    mesh = make_mesh((2,), ("data",))
+
+    monkeypatch.setenv("BATCH_SONGS_PER_DEVICE", "8")
+    reload_settings()
+    one = batched_fused_analysis(batch, sr, mesh=mesh, true_lens=lens)
+
+    monkeypatch.setenv("BATCH_SONGS_PER_DEVICE", "1")
+    reload_settings()
+    chunked = batched_fused_analysis(batch, sr, mesh=mesh, true_lens=lens)
+    monkeypatch.delenv("BATCH_SONGS_PER_DEVICE")
+    reload_settings()
+
+    assert set(one) == set(chunked)
+    for k in one:
+        a, b = np.asarray(one[k]), np.asarray(chunked[k])
+        assert a.shape == b.shape, k
+        assert np.allclose(a, b, atol=1e-5), k
