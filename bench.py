@@ -123,6 +123,30 @@ def main() -> int:
             break
         prev = cur
     long_wall = min(run_long(f"long_run{i}") for i in range(3))
+
+    # ---- BASELINE config 5 shape on one chip: 8×30 s songs through the
+    # chunked/overlapped batch runner (runtime/batch_runner.py). Reported
+    # best-effort: a compile-helper hiccup must not sink the headline line.
+    batch_tp = None
+    try:
+        from audiotabs_tpu.runtime.batch_runner import transcribe_batch
+
+        rng = np.random.default_rng(7)
+        bpaths = []
+        for i in range(8):
+            y = audio + 0.01 * rng.standard_normal(len(audio)).astype(np.float32)
+            p = tmp / f"b{i}.wav"
+            write_wav(p, y.astype(np.float32), sr)
+            bpaths.append(p)
+        transcribe_batch(bpaths, tmp / "bwarm")  # compile + warm
+        bwalls = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            transcribe_batch(bpaths, tmp / f"brun{i}")
+            bwalls.append(time.perf_counter() - t0)
+        batch_tp = round(8 * duration / min(bwalls), 3)
+    except Exception:
+        pass
     shutil.rmtree(tmp, ignore_errors=True)
 
     print(
@@ -138,6 +162,7 @@ def main() -> int:
                 "long_song_wall_s": round(long_wall, 3),
                 "long_song_audio_s": long_dur,
                 "long_song_audio_s_per_s": round(long_dur / long_wall, 3),
+                **({"batch8_audio_s_per_s": batch_tp} if batch_tp else {}),
             }
         )
     )
