@@ -164,9 +164,13 @@ def batched_fused_analysis_stream(batch: np.ndarray, sr: int, mesh=None, true_le
 
     s = config.settings
     chunk = n_dev * max(1, int(s.BATCH_SONGS_PER_DEVICE))
-    chunk = min(chunk, B + ((-B) % n_dev))  # don't pad a small batch up to a full chunk
-    pad_rows = (-B) % chunk
+    # Sharding only needs a multiple of n_dev; the tail dispatch runs at its
+    # own (smaller) compiled shape rather than zero-padding up to the full
+    # chunk (B=33 on 8 devices used to pad to 64 and burn ~2x device wall
+    # on zero rows for one extra cached executable).
+    pad_rows = (-B) % n_dev
     if pad_rows:
+        _LOG.info("batch: padding %d zero rows to align B=%d to %d devices", pad_rows, B, n_dev)
         batch = np.concatenate([batch, np.zeros((pad_rows,) + batch.shape[1:], batch.dtype)])
         true_lens = np.concatenate([true_lens, np.full((pad_rows,), batch.shape[1], np.int32)])
 
@@ -181,17 +185,17 @@ def batched_fused_analysis_stream(batch: np.ndarray, sr: int, mesh=None, true_le
     )
     outs = []
     for a in range(0, batch.shape[0], chunk):
+        rows = min(chunk, batch.shape[0] - a)
         device_batch = jax.device_put(
-            jnp.asarray(batch[a : a + chunk]), NamedSharding(mesh, P("data", None))
+            jnp.asarray(batch[a : a + rows]), NamedSharding(mesh, P("data", None))
         )
         device_lens = jax.device_put(
-            jnp.asarray(true_lens[a : a + chunk]), NamedSharding(mesh, P("data"))
+            jnp.asarray(true_lens[a : a + rows]), NamedSharding(mesh, P("data"))
         )
-        outs.append(fn(sep_params, device_batch, device_lens))
-    for idx, o in enumerate(outs):
+        outs.append((a, rows, fn(sep_params, device_batch, device_lens)))
+    for a, rows, o in outs:
         host = jax.device_get(o)
-        a = idx * chunk
-        n = min(chunk, B - a)
+        n = min(rows, B - a)
         yield a, {k: v[:n] for k, v in host.items()}
 
 

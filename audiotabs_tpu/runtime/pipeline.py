@@ -649,6 +649,24 @@ def _pipeline_tail(
             _write_json(out / "strum_onsets.json", mode_result.strum_onsets)
         if mode_result.chosen_shapes:
             _write_json(out / "chosen_shapes.json", mode_result.chosen_shapes)
+        if tab_positions is not None and score is not None:
+            # offline tablature artifact: per measure, per score item, the
+            # chosen [string, fret] pairs (string 1 = highest). The same
+            # data feeds the MusicXML TAB part (reference
+            # musicxml/export.py:150-291); persisting it lets the bundled
+            # frontend draw the 6-line tab with zero network access.
+            from ..tab.fretboard import get_tuning as _get_tuning
+
+            _write_json(
+                out / "tab_positions.json",
+                {
+                    "tuning": [int(p) for p in _get_tuning(s.GUITAR_TUNING)],
+                    "measures": [
+                        [[[int(st), int(fr)] for st, fr in item] for item in meas]
+                        for meas in tab_positions
+                    ],
+                },
+            )
         try:
             from ..score import save_note_events_csv
 

@@ -40,6 +40,7 @@ _ARTIFACTS = {
     "score.pdf": ("out/score.pdf", "application/pdf"),
     "transcription.mid": ("out/transcription.mid", "audio/midi"),
     "note_events.csv": ("out/note_events.csv", "text/csv"),
+    "tab_positions.json": ("out/tab_positions.json", "application/json"),
 }
 
 _JOB_RE = re.compile(r"^/v1/jobs/([0-9a-f]{32})(?:/(.+))?$")

@@ -67,8 +67,14 @@ def build_dataset(n_clips: int, seed: int, sr: int = 22050, duration: float = 12
 
     from .synth import synth_beat_clip
 
+    from .synth import SYNTH_VERSION
+
+    # key includes the generator version: synth_beat_clip's distribution has
+    # changed across rounds (tempo drift, swing, fills) and a stale $TMPDIR
+    # cache must not silently train on the old distribution
     cache_path = os.path.join(
-        tempfile.gettempdir(), f"beat_ds_{n_clips}_{seed}_{sr}_{duration}.npz"
+        tempfile.gettempdir(),
+        f"beat_ds_v{SYNTH_VERSION}_{n_clips}_{seed}_{sr}_{duration}.npz",
     )
     if os.path.exists(cache_path):
         d = np.load(cache_path)

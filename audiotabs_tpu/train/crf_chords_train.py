@@ -95,8 +95,19 @@ def build_dataset(n_clips: int, seed: int, dc_params, cache: bool = True):
 
     # feature extraction dominates trainer wall time on this 1-core host
     # (~8 min for 80 clips); the (n_clips, seed) draw is deterministic, so
-    # cache it across candidate runs
-    cache_path = os.path.join(tempfile.gettempdir(), f"crf_ds_{n_clips}_{seed}.npz")
+    # cache it across candidate runs. The key folds in the DeepChroma
+    # checkpoint identity (features are computed FROM dc_params — retraining
+    # deepchroma.npz must invalidate these) and the synth generator version.
+    from .synth import SYNTH_VERSION
+
+    dc_tag = "none"
+    dc_path = dc.default_weights_path()
+    if dc_path and os.path.exists(dc_path):
+        st = os.stat(dc_path)
+        dc_tag = f"{int(st.st_mtime)}_{st.st_size}"
+    cache_path = os.path.join(
+        tempfile.gettempdir(), f"crf_ds_v{SYNTH_VERSION}_{dc_tag}_{n_clips}_{seed}.npz"
+    )
     if cache and os.path.exists(cache_path):
         data = np.load(cache_path)
         k = int(data["n"])

@@ -6,9 +6,12 @@ zero-egress environment, so a smaller variant of the SAME architecture
 (every size derived from the parameter pytree) is trained from scratch on
 synthesized multitracks with exact ground truth (train/synth.synth_multitrack).
 
-``--sources 6`` trains the htdemucs_6s stem layout (drums, bass, other,
-vocals, guitar, piano — reference demucs_sep.py:30-36), whose GUITAR stem
-is the reference's first-priority transcription source
+``--sources 6`` trains a 6-stem layout (drums, bass, other, vocals,
+guitar, piano). Note the reference resolves stem order at runtime from the
+demucs package's ``model.sources`` attribute (demucs_sep.py:205-207 uses
+getattr), not from its hardcoded ``_MODEL_STEMS`` listing — both sides
+select stems BY NAME, so only internal consistency matters here. The
+GUITAR stem is the reference's first-priority transcription source
 (core/config.py:21-24). The synthetic arrangements include solo-guitar
 clips so the model learns to route solo acoustic recordings (the golden
 WAV's style) to the guitar stem with a silent drums stem.

@@ -11,6 +11,11 @@ from __future__ import annotations
 
 import numpy as np
 
+# Bump whenever any generator's clip distribution changes: trainer dataset
+# caches under $TMPDIR fold this into their filenames so a generator change
+# invalidates stale cached datasets from earlier rounds automatically.
+SYNTH_VERSION = 4
+
 _CHORDS = {
     "maj": (0, 4, 7),
     "min": (0, 3, 7),

@@ -448,4 +448,145 @@ function renderLeadSheet(container, result) {
   }
 }
 
-window.AudiotabsScore = { renderScore, renderLeadSheet };
+/* ----------------------------- tablature ----------------------------- */
+
+/*
+ * Offline 6-line tablature view: fret numbers from tab_positions.json
+ * (written by the pipeline alongside the MusicXML TAB part — reference
+ * musicxml/export.py:150-291 renders the same data via OSMD online).
+ * tabData = { tuning: [6 open-string MIDI numbers low→high],
+ *             measures: [[ [[string, fret], ...] per item ] per measure] }
+ * where string 1 = highest. Top tab line = string 1, as in standard tabs.
+ */
+const TAB_LINES = 6;
+const TAB_GAP = 9;
+
+function renderTab(container, result, tabData) {
+  container.innerHTML = "";
+  const score = result.score;
+  if (!score || !score.measures || !score.measures.length) {
+    container.textContent = "no score in result.json";
+    return;
+  }
+  if (!tabData || !tabData.measures) {
+    container.textContent = "no tab positions for this job";
+    return;
+  }
+  const width = Math.max(480, container.clientWidth || 920);
+  const MEAS_MIN = 150;
+  const perItem = 34;
+
+  const beatsPerBar = parseInt((result.time_signature || "4/4").split("/")[0], 10) || 4;
+  const beatSec = 60.0 / (result.tempo_bpm || 120);
+  const measSec = beatSec * beatsPerBar;
+  const chords = result.chords || [];
+  const chordAt = (t) => {
+    for (const c of chords) if (c.start <= t && t < c.end) return c.label;
+    return null;
+  };
+
+  // layout into systems (same packing as renderScore)
+  const systems = [];
+  let current = [], x = 70;
+  score.measures.forEach((m, mi) => {
+    const w = Math.max(MEAS_MIN, 28 + perItem * m.items.length);
+    if (x + w > width - 10 && current.length) {
+      systems.push(current);
+      current = [];
+      x = 70;
+    }
+    current.push({ measure: m, width: w, mi });
+    x += w;
+  });
+  if (current.length) systems.push(current);
+
+  const staffH = (TAB_LINES - 1) * TAB_GAP;
+  const SYS_H = staffH + 64;
+  const svg = el("svg", { width, height: systems.length * SYS_H + 40, viewBox:
+    `0 0 ${width} ${systems.length * SYS_H + 40}` }, container);
+  const tuningName = tabData.tuning && tabData.tuning.length === 6
+    ? tabData.tuning.map(midiName).reverse().join(" ") : "";
+  textEl(svg, 70, 18, `♩ = ${Math.round(result.tempo_bpm || 120)}` +
+    (tuningName ? `   tuning ${tuningName}` : ""), 13, { "font-style": "italic" });
+
+  systems.forEach((sys, si) => {
+    const topY = 40 + si * SYS_H + 22;
+    const g = el("g", {}, svg);
+    const sysWidth = sys.reduce((a, s) => a + s.width, 0);
+    for (let i = 0; i < TAB_LINES; i++)
+      el("line", { x1: 60, y1: topY + i * TAB_GAP, x2: 60 + sysWidth,
+        y2: topY + i * TAB_GAP, stroke: "#444", "stroke-width": 1 }, g);
+    // TAB clef
+    ["T", "A", "B"].forEach((ch, k) =>
+      textEl(g, 64, topY + 13 + k * 13, ch, 13, { "font-weight": "bold" }));
+
+    let mx = 60 + (si === 0 ? 26 : 26);
+    const scaleX = (60 + sysWidth - mx) / sysWidth;
+
+    sys.forEach((entry) => {
+      const m = entry.measure;
+      const mWidth = entry.width * scaleX;
+      const label = chordAt(entry.mi * measSec + 1e-3);
+      if (label && label !== "N")
+        textEl(g, mx + 4, topY - 8, prettyChord(label), 13, { "font-weight": "bold" });
+
+      const tabMeasure = tabData.measures[entry.mi] || [];
+      const innerPad = 14;
+      const n = m.items.length || 1;
+      const step = (mWidth - innerPad * 2) / n;
+
+      m.items.forEach((item, ii) => {
+        const ix = mx + innerPad + ii * step + step * 0.25;
+        const positions = tabMeasure[ii] || [];
+        if (item.rest || !positions.length) {
+          if (item.rest) {
+            // small rest tick below the staff so rhythm gaps stay visible
+            el("rect", { x: ix, y: topY + staffH + 10, width: 7, height: 3,
+              fill: "#999" }, g);
+          }
+          return;
+        }
+        if (item.tie === "stop" || item.tie === "continue") {
+          // sustained strum: tie arc instead of repeated fret numbers
+          el("path", { d: `M ${ix - step * 0.6} ${topY + staffH + 8}
+            Q ${ix - step * 0.3} ${topY + staffH + 14} ${ix} ${topY + staffH + 8}`,
+            fill: "none", stroke: "#777", "stroke-width": 1.2 }, g);
+          return;
+        }
+        positions.forEach(([str, fret]) => {
+          if (!(str >= 1 && str <= 6)) return;
+          const y = topY + (str - 1) * TAB_GAP;
+          const txt = String(fret);
+          // white halo so the number is readable on the line
+          el("rect", { x: ix - 3 - (txt.length - 1) * 3, y: y - 5.5,
+            width: 7 + (txt.length - 1) * 6, height: 11, fill: "#fff" }, g);
+          textEl(g, ix - 3 - (txt.length - 1) * 3, y + 4, txt, 11,
+            { "font-family": "system-ui, sans-serif" });
+        });
+        // rhythm stem below the staff (flags as tick marks)
+        const flags = { 8: 1, 16: 2, 32: 3 }[String(item.duration)] || 0;
+        if (item.duration !== "w") {
+          const sy = topY + staffH + 4;
+          el("line", { x1: ix, y1: sy, x2: ix, y2: sy + 12, stroke: "#000",
+            "stroke-width": item.duration === "h" ? 0.8 : 1.3 }, g);
+          for (let f = 0; f < flags; f++)
+            el("line", { x1: ix, y1: sy + 12 - f * 3.5, x2: ix + 5,
+              y2: sy + 9.5 - f * 3.5, stroke: "#000", "stroke-width": 1.2 }, g);
+          for (let d = 0; d < (item.dots || 0); d++)
+            el("circle", { cx: ix + 4 + d * 4, cy: sy + 14, r: 1.5, fill: "#000" }, g);
+        }
+      });
+
+      el("line", { x1: mx + mWidth, y1: topY, x2: mx + mWidth,
+        y2: topY + staffH, stroke: "#444", "stroke-width": 1 }, g);
+      mx += mWidth;
+    });
+  });
+}
+
+const NOTE_NAMES = ["C", "C#", "D", "D#", "E", "F", "F#", "G", "G#", "A", "A#", "B"];
+function midiName(m) {
+  return NOTE_NAMES[((m % 12) + 12) % 12] + (Math.floor(m / 12) - 1);
+}
+
+window.AudiotabsScore = { renderScore, renderLeadSheet, renderTab };

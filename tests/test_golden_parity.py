@@ -167,6 +167,50 @@ def test_golden_note_event_coverage(golden_available, golden_run):
     assert recall >= 0.70, recall
 
 
+@pytest.mark.slow
+def test_golden_harmonic_extraction_parity(golden_available, golden_run):
+    """Our HPSS harmonic intermediate vs the reference's ACTUAL harmonic
+    extraction of the same recording (work/audio_harmonic.wav, written by
+    reference pipeline.py:1669-1672 via librosa.effects.harmonic) — the one
+    real-audio intermediate the reference ships. Compared as log-magnitude
+    spectrogram correlation at 22.05 kHz; the raw mix itself correlates
+    0.836 with the reference harmonic (this clip is mostly harmonic), so
+    the gate also requires our extraction to beat that null baseline.
+    Measured at introduction: ours 0.889."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiotabs_tpu.io import load_wav, resample_poly_host
+    from audiotabs_tpu.ops.spectral import stft
+
+    _result, job = golden_run
+    ours_path = job / "work" / "audio_harmonic.wav"
+    assert ours_path.exists(), "pipeline did not write work/audio_harmonic.wav"
+    yh_ours, sr_o = load_wav(ours_path)
+    yh_ref, sr_r = load_wav(golden_available / "work" / "audio_harmonic.wav")
+    y_mix, sr_m = load_wav(golden_available / "work" / "audio_mono_44k.wav")
+
+    sr = 22050
+    if sr_o != sr:
+        yh_ours = resample_poly_host(yh_ours, sr_o, sr)
+    yh_ref = resample_poly_host(yh_ref, sr_r, sr)
+    y_mix = resample_poly_host(y_mix, sr_m, sr)
+    n = min(len(yh_ours), len(yh_ref), len(y_mix))
+
+    def lmag(x):
+        return np.log1p(100.0 * np.abs(np.asarray(stft(jnp.asarray(x[:n])))))
+
+    def corr(u, v):
+        u, v = u.ravel() - u.mean(), v.ravel() - v.mean()
+        return float(np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v) + 1e-12))
+
+    ref = lmag(yh_ref)
+    c_ours = corr(lmag(yh_ours), ref)
+    c_mix = corr(lmag(y_mix), ref)
+    assert c_ours >= 0.85, (c_ours, c_mix)
+    assert c_ours > c_mix, (c_ours, c_mix)
+
+
 OTHER_JOB_IDS = [
     "3ce6a198a9ef448aa66bd6b0703f35c0",
     "42fc534998874068a7b0318134d2f90d",

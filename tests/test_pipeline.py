@@ -75,6 +75,15 @@ def test_pipeline_end_to_end(melody_wav, tmp_path, monkeypatch):
     # dependency-free engraver, score/pdfwriter.py)
     assert (out / "score.pdf").read_bytes().startswith(b"%PDF")
 
+    # tab artifact: aligned with the score and drawable offline (the
+    # frontend's Tablature view reads it — frontend/score_renderer.js)
+    tab = json.loads((out / "tab_positions.json").read_text())
+    assert len(tab["tuning"]) == 6
+    assert len(tab["measures"]) == len(result.score.measures)
+    flat = [p for meas in tab["measures"] for item in meas for p in item]
+    assert flat, "no tab positions at all"
+    assert all(1 <= s <= 6 and 0 <= f <= 24 for s, f in flat)
+
     # musicxml parses and has a TAB part
     import xml.etree.ElementTree as ET
 
@@ -104,6 +113,9 @@ def test_pipeline_accompaniment_mode(melody_wav, tmp_path, monkeypatch):
     result = run_pipeline(job_dir, melody_wav)
     assert result.transcription_backend == "accompaniment+chords_viterbi"
     assert (job_dir / "out" / "chords.json").exists()
+    # strummed-shape positions feed the offline tab view in this mode too
+    tab = json.loads((job_dir / "out" / "tab_positions.json").read_text())
+    assert len(tab["measures"]) == len(result.score.measures)
 
 
 def test_pipeline_silence_degrades_gracefully(tmp_path):
