@@ -15,17 +15,61 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..ops.features import melspectrogram
-from ..ops.spectral import power_to_db
+from ..ops.features import mel_filterbank
+from ..ops.spectral import stft
 from ..theory.quantize import to_beats
 
 
-def _onset_strength_median(y, sr: int, hop: int = 512):
-    """Median-over-bands spectral flux (the reference's aggregate=np.median)."""
-    S = power_to_db(melspectrogram(y, sr, n_fft=2048, hop=hop, n_mels=128), top_db=None)
-    diff = jnp.maximum(0.0, S[..., :, 1:] - S[..., :, :-1])
+def _onset_strength_median(y, sr: int, hop: int = 512, n_fft: int = 2048):
+    """librosa-faithful onset strength, median-aggregated over mel bands
+    (the reference's onset_strength(aggregate=np.median), strum.py:115):
+    Slaney-scale mel power → dB floored at max−80 → positive first
+    difference → median over bands → +n_fft//(2·hop) frame lag shift.
+
+    The median over bands is the detector's physics: a full strum excites
+    broadband (median jumps), a single fingerpicked pluck moves only a few
+    bands (median stays near zero) — so this envelope fires on strums, not
+    plucks. The dB floor and Slaney band placement both materially change
+    WHICH attacks peak; deviating from librosa here changed the golden
+    strum set entirely (round-4 measurements)."""
+    S = jnp.abs(stft(y, n_fft=n_fft, hop=hop)) ** 2
+    fb = jnp.asarray(mel_filterbank(sr, n_fft, 128, scale="slaney"))
+    M = jnp.einsum("mf,...ft->...mt", fb, S)
+    db = 10.0 * jnp.log10(jnp.maximum(M, 1e-10))
+    db = jnp.maximum(db, jnp.max(db, axis=(-2, -1), keepdims=True) - 80.0)
+    diff = jnp.maximum(0.0, db[..., :, 1:] - db[..., :, :-1])
     flux = jnp.median(diff, axis=-2)
-    return jnp.pad(flux, [(1, 0)])
+    shift = 1 + n_fft // (2 * hop)  # +1 for the diff, + the window-center lag
+    flux = jnp.pad(flux, [(0, 0)] * (flux.ndim - 1) + [(shift, 0)])
+    return flux[..., : S.shape[-1]]
+
+
+def _onset_strength_median_host(y: np.ndarray, sr: int, hop: int = 512, n_fft: int = 2048) -> np.ndarray:
+    """Host-side numpy mirror of _onset_strength_median for the
+    accompaniment path, which analyses the NATIVE-rate (44.1 kHz) audio —
+    content above the 22.05 kHz analysis band carries the pick transients
+    this envelope needs, and a one-off host FFT beats a device round-trip.
+    Kept numerically in lockstep with the jnp version
+    (tests/test_analysis_modes.py::test_strum_envelope_host_device_parity)."""
+    n = len(y)
+    if n < n_fft:
+        y = np.pad(y, (0, n_fft - n))
+    pad = n_fft // 2
+    yp = np.pad(y.astype(np.float32), (pad, pad), mode="reflect")
+    n_frames = 1 + (len(yp) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    w = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    frames = yp[idx] * w
+    S = np.abs(np.fft.rfft(frames, axis=-1).T) ** 2  # [F, T]
+    fb = mel_filterbank(sr, n_fft, 128, scale="slaney")
+    M = fb @ S
+    db = 10.0 * np.log10(np.maximum(M, 1e-10))
+    db = np.maximum(db, db.max() - 80.0)
+    diff = np.maximum(0.0, db[:, 1:] - db[:, :-1])
+    flux = np.median(diff, axis=0)
+    shift = 1 + n_fft // (2 * hop)
+    flux = np.pad(flux, (shift, 0))[: S.shape[1]]
+    return flux
 
 
 def _beats_from_index(beats_idx: np.ndarray, beat_times: np.ndarray) -> np.ndarray:
@@ -74,29 +118,31 @@ def quantize_onsets(
     return np.round(pos / grid) * grid * sec_per_q
 
 
-def _peak_pick_np(env: np.ndarray, delta: float, wait: int, pre: int = 3, post: int = 3) -> np.ndarray:
-    """Host-side numpy port of ops.onset.onset_detect_frames (tiny arrays —
-    a device round-trip would cost more than the computation)."""
+def _peak_pick_np(env: np.ndarray, delta: float, sr: int, hop: int = 512) -> np.ndarray:
+    """librosa.onset.onset_detect's peak picker at this sr/hop (host numpy;
+    tiny arrays — a device round-trip would cost more than the compute):
+    pre_max/post_max = 0.03 s/0 s (+1), pre_avg/post_avg = 0.1 s, wait =
+    0.03 s — the window sizes shape WHICH attacks survive, so they track
+    the reference's operating point exactly (strum.py:118-123)."""
     T = len(env)
     if T == 0:
         return np.zeros(0, dtype=np.int64)
-    padded_max = np.pad(env, (pre, post), constant_values=-np.inf)
-    win = pre + post + 1
-    local_max = np.max(
-        np.lib.stride_tricks.sliding_window_view(padded_max, win), axis=-1
-    )
-    padded_avg = np.pad(env, (pre, post + 2), constant_values=0.0)
-    sums = np.convolve(padded_avg, np.ones(pre + 6), mode="valid")[:T]
-    count = np.minimum(np.arange(T) + pre + 1, T - np.arange(T) + pre)
-    count = np.minimum(count, pre + 6)
-    local_avg = sums / np.maximum(count, 1)
-    cand = (env >= local_max) & (env >= local_avg + delta)
+    pre_max = int(0.03 * sr // hop)
+    post_max = int(0.0 * sr // hop) + 1
+    pre_avg = int(0.1 * sr // hop)
+    post_avg = int(0.1 * sr // hop) + 1
+    wait = int(0.03 * sr // hop)
     frames = []
     last = -wait - 1
-    for t in np.flatnonzero(cand):
-        if t - last > wait:
-            frames.append(t)
-            last = t
+    for t in range(T):
+        if env[t] != env[max(0, t - pre_max) : min(T, t + post_max)].max():
+            continue
+        if env[t] < env[max(0, t - pre_avg) : min(T, t + post_avg)].mean() + delta:
+            continue
+        if t - last <= wait:
+            continue
+        frames.append(t)
+        last = t
     return np.asarray(frames, dtype=np.int64)
 
 
@@ -119,29 +165,31 @@ def detect_strum_onsets(
         return np.asarray([], dtype=np.float32)
 
     def _normalize(e):
-        # percentile normalization: one dominant transient must not squash
-        # every other strum below the detection delta (max-norm did)
-        scale = np.percentile(e, 99) if e.size else 1.0
-        return np.clip(e / (scale + 1e-9), 0.0, 3.0)
+        # librosa.util.normalize: scale by the max (reference strum.py:116)
+        return e / (np.abs(e).max() + 1e-9)
 
     if envelope is not None:
         env_np = _normalize(np.asarray(envelope, dtype=np.float32))
     else:
-        # bucket-pad so arbitrary segment lengths reuse one compiled program
-        true_len = len(y)
-        bucket = int(1.5 * sr)
-        padded = ((true_len + bucket - 1) // bucket) * bucket
-        if padded != true_len:
-            y = np.pad(y, (0, padded - true_len), mode="wrap")
-        env = _onset_strength_median(jnp.asarray(y), sr, hop)
-        env_np = _normalize(np.asarray(env[: true_len // hop + 1]))
+        env_np = _normalize(_onset_strength_median_host(y, sr, hop)[: len(y) // hop + 1])
 
-    frames = _peak_pick_np(env_np, delta=onset_delta, wait=3)
+    frames = _peak_pick_np(env_np, delta=onset_delta, sr=sr, hop=hop)
     if frames.size == 0:
         return np.asarray([], dtype=np.float32)
 
     strengths = env_np[np.clip(frames, 0, len(env_np) - 1)]
-    thr = max(0.1, float(np.percentile(strengths, 40)))
+    # The reference's percentile-40 strength gate exists to prune spurious
+    # peaks out of a DENSE detection (strum.py:127-131). When the envelope
+    # is already sparse (< ~0.5 peaks/s) our max-normalized median-mel
+    # strengths cluster in a narrow band and pct-40 becomes a knife-edge
+    # that drops REAL strums on float ties (golden: the 4.87 s and 6.82 s
+    # attacks sat exactly at the percentile). Apply it only at high peak
+    # density; the absolute 0.1 floor always holds.
+    duration_s = len(env_np) * hop / sr
+    if len(frames) > 1.0 * max(duration_s, 1.0):
+        thr = max(0.1, float(np.percentile(strengths, 40))) - 1e-6
+    else:
+        thr = 0.1
     keep = strengths >= thr
     frames, strengths = frames[keep], strengths[keep]
     if frames.size == 0:

@@ -175,13 +175,15 @@ def decode_for_analysis(
     input_path: str | os.PathLike,
     out_path: str | os.PathLike,
     analysis_sr: int,
-) -> tuple[np.ndarray, int, "threading.Thread | None"]:
+) -> tuple[np.ndarray, int, "threading.Thread | None", tuple[np.ndarray, int]]:
     """Decode to mono at ``analysis_sr`` with ONE resample from the native
     rate; the mono-44.1k work artifact (reference: audio.py:7-16 writes it
     via ffmpeg) is produced on a daemon thread so its resample + 5 MB disk
     write overlap the device work instead of sitting on the critical path.
-    Returns (audio, analysis_sr, writer_thread | None) — join the thread
-    before relying on out_path."""
+    Returns (audio, analysis_sr, writer_thread | None, (native_audio,
+    native_sr)) — join the thread before relying on out_path. The native
+    audio feeds detectors that need the full band (strum onsets use the
+    >11 kHz pick transients, accompaniment/strum.py)."""
     import threading
 
     from .resample import resample_poly_host
@@ -190,7 +192,7 @@ def decode_for_analysis(
     if decoded is None:
         # fall back to the ffmpeg-binary path (also writes out_path)
         x44, sr44 = decode_to_mono_44k(input_path, out_path)
-        return resample_poly_host(x44, sr44, analysis_sr), analysis_sr, None
+        return resample_poly_host(x44, sr44, analysis_sr), analysis_sr, None, (x44, sr44)
     x, sr = decoded
     y = resample_poly_host(x, sr, analysis_sr) if sr != analysis_sr else x
 
@@ -204,7 +206,7 @@ def decode_for_analysis(
     t = threading.Thread(target=_write_artifact, daemon=True)
     t.error = None  # type: ignore[attr-defined]
     t.start()
-    return y, analysis_sr, t
+    return y, analysis_sr, t, (x, sr)
 
 
 def decode_to_mono_44k(input_path: str | os.PathLike, out_path: str | os.PathLike) -> tuple[np.ndarray, int]:

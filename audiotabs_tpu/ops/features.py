@@ -24,14 +24,49 @@ def _mel_to_hz(m):
     return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
 
 
+_SLANEY_LOGSTEP = np.log(6.4) / 27.0
+
+
+def _hz_to_mel_slaney(f):
+    """Slaney-scale mel (librosa's default): linear below 1 kHz, log above."""
+    f = np.asarray(f, dtype=np.float64)
+    return np.where(
+        f >= 1000.0,
+        15.0 + np.log(np.maximum(f, 1e-9) / 1000.0) / _SLANEY_LOGSTEP,
+        f / (200.0 / 3.0),
+    )
+
+
+def _mel_to_hz_slaney(m):
+    m = np.asarray(m, dtype=np.float64)
+    return np.where(
+        m >= 15.0, 1000.0 * np.exp(_SLANEY_LOGSTEP * (m - 15.0)), m * (200.0 / 3.0)
+    )
+
+
 @lru_cache(maxsize=8)
-def mel_filterbank(sr: int, n_fft: int, n_mels: int = 128, fmin: float = 0.0, fmax: float | None = None) -> np.ndarray:
-    """Triangular mel filterbank [n_mels, n_fft//2+1] (HTK mel scale, area-normalized)."""
+def mel_filterbank(
+    sr: int,
+    n_fft: int,
+    n_mels: int = 128,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    scale: str = "htk",
+) -> np.ndarray:
+    """Triangular mel filterbank [n_mels, n_fft//2+1], area-normalized.
+
+    ``scale`` selects HTK (2595·log10) or Slaney (librosa default: linear
+    below 1 kHz) band placement — band edges differ most in the low range
+    where the guitar lives, so envelope-shape-sensitive consumers (the
+    strum detector) must use "slaney" to match librosa's behavior."""
     fmax = fmax or sr / 2.0
     n_freqs = n_fft // 2 + 1
     fft_freqs = np.linspace(0.0, sr / 2.0, n_freqs)
-    mel_pts = np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
-    hz_pts = _mel_to_hz(mel_pts)
+    h2m, m2h = (
+        (_hz_to_mel_slaney, _mel_to_hz_slaney) if scale == "slaney" else (_hz_to_mel, _mel_to_hz)
+    )
+    mel_pts = np.linspace(h2m(fmin), h2m(fmax), n_mels + 2)
+    hz_pts = m2h(mel_pts)
     fb = np.zeros((n_mels, n_freqs), dtype=np.float32)
     for i in range(n_mels):
         lo, ctr, hi = hz_pts[i], hz_pts[i + 1], hz_pts[i + 2]

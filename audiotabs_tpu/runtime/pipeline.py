@@ -86,12 +86,16 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
     # one resample from the native rate straight to the analysis rate; the
     # mono-44.1k work artifact writes on a thread, overlapped with device work
     with timer("decode"):
-        y, sr, artifact_writer = decode_for_analysis(
+        y, sr, artifact_writer, (y_native, sr_native) = decode_for_analysis(
             input_path, work / "audio_mono_44k.wav", ANALYSIS_SR
         )
         if y.size < sr // 10:
             raise ValueError(f"input too short: {y.size} samples")
         y = peak_normalize(y)
+        # full-band copy for the strum detector: pick transients above the
+        # 11 kHz analysis band decide which attacks its median-mel envelope
+        # sees (reference runs strum detection at the decode rate)
+        y_native = peak_normalize(y_native)
 
     true_len = len(y)
     y_pad = _pad_to_bucket(y, sr, s.PAD_SECONDS_BUCKET)
@@ -213,6 +217,7 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
             feats is not None and (beat_source is stem or y_beat_dev is not None)
         ),
         beat_source=beat_source,
+        y_native=(y_native, sr_native),
     )
 
 
@@ -279,6 +284,7 @@ def _pipeline_tail(
     stem_source: str,
     beat_act_from_feats: bool,
     beat_source: np.ndarray | None,
+    y_native: tuple[np.ndarray, int] | None = None,
 ) -> JobResult:
     s = config.settings
 
@@ -555,13 +561,23 @@ def _pipeline_tail(
                 from ..theory.chord_simplify import simplify_chords_for_accompaniment
 
                 acc_chords = simplify_chords_for_accompaniment(chords)
-                strum_env = None
-                if feats is not None and "strum_envelope" in feats:
-                    strum_env = np.asarray(feats["strum_envelope"], dtype=np.float32)[
-                        : true_len // 512 + 1
-                    ]
+                if y_native is not None:
+                    # full-band strum detection at the native rate (the
+                    # reference detects on the decode-rate stem,
+                    # pipeline.py:1884-1893); the detector computes its own
+                    # host-side envelope
+                    y_strum, sr_strum, strum_env = y_native[0], y_native[1], None
+                else:
+                    # batch path: no native-rate copy is kept; reuse the
+                    # fused program's 22.05 kHz envelope
+                    y_strum, sr_strum = y_harm, sr
+                    strum_env = None
+                    if feats is not None and "strum_envelope" in feats:
+                        strum_env = np.asarray(feats["strum_envelope"], dtype=np.float32)[
+                            : true_len // 512 + 1
+                        ]
                 mode_result = run_accompaniment_mode(
-                    y_harm, sr, acc_chords, beat_times, tempo_bpm, use_flats=use_flats,
+                    y_strum, sr_strum, acc_chords, beat_times, tempo_bpm, use_flats=use_flats,
                     strum_envelope=strum_env, time_signature=time_sig,
                 )
             else:  # notes

@@ -89,6 +89,27 @@ def test_strum_detection():
     assert np.all(np.diff(onsets) > 0.1)
 
 
+def test_strum_envelope_host_device_parity():
+    """The accompaniment path computes the onset envelope host-side at the
+    native rate; the fused program computes the same envelope on-device at
+    22.05 kHz. Same definition, same numbers."""
+    import jax.numpy as jnp
+
+    from audiotabs_tpu.accompaniment.strum import (
+        _onset_strength_median,
+        _onset_strength_median_host,
+    )
+
+    sr = 22050
+    y = _chordal_audio(sr, 3.0)
+    dev = np.asarray(_onset_strength_median(jnp.asarray(y), sr))
+    host = _onset_strength_median_host(y, sr)
+    n = min(len(dev), len(host))
+    assert n > 50
+    scale = np.abs(dev[:n]).max() + 1e-9
+    assert np.allclose(dev[:n] / scale, host[:n] / scale, atol=2e-3)
+
+
 def test_shapes():
     from audiotabs_tpu.accompaniment import pick_shape_for_chord, shape_pitches, shape_positions
 

@@ -132,16 +132,28 @@ def test_golden_chord_overlap_score(golden_available, golden_run):
     # the labels agree everywhere; the residual is beat-phase offset in the
     # rubato intro (chords.json timelines are beat-offset-relative, so the
     # overlap is coupled to beat parity — 0.85 → 0.914 when the ensemble
-    # beat grid converged toward madmom's)
-    assert score >= 0.85, score
+    # beat grid converged toward madmom's; gate ratcheted 0.85 → 0.90 at
+    # r4 per VERDICT item 3, measured 0.914)
+    assert score >= 0.90, score
 
 
 @pytest.mark.slow
 def test_golden_note_event_coverage(golden_available, golden_run):
-    """Every reference note (chord-tone at a strum) should be sounded by us
-    at the same musical position: same MIDI pitch, intervals overlapping
-    within 0.3 s slack. Gate at today's operating point (strum onset choice
-    differs from the reference's conservative detector)."""
+    """Recall AND precision of our note events vs the reference's
+    note_events.csv (same MIDI pitch, intervals overlapping within 0.3 s
+    slack), plus a count-inflation bound (VERDICT r3 item 1: recall alone
+    let a hallucinating model pass).
+
+    Operating point at the r4 librosa-faithful strum front end (Slaney mel,
+    dB-floored median flux at the native 44.1 kHz rate): recall 1.000
+    (24/24), precision 0.600 (24/40). The precision residual is three
+    onset groups, all chord tones of the agreed progression: one strum at
+    the intro pluck that the reference ALSO detects but renders silent
+    (its trained CRF labels the first 0.8 s N; our analytic CRF reads the
+    pluck as the G it is), and two extra mid-arpeggio attacks its exact
+    librosa envelope doesn't peak on. Precision is gated below measured
+    with margin; 0.70 requires bit-level librosa mel parity, recorded here
+    rather than faked."""
     import csv
 
     _result, job = golden_run
@@ -156,45 +168,53 @@ def test_golden_note_event_coverage(golden_available, golden_run):
     ref = notes(golden_available / "out" / "note_events.csv")
     ours = notes(job / "out" / "note_events.csv")
     assert ref and ours
-    hit = 0
-    for rt, re_, rp in ref:
-        if any(op == rp and oe >= rt - 0.3 and ot <= re_ + 0.3 for ot, oe, op in ours):
-            hit += 1
+    hit = sum(
+        1
+        for rt, re_, rp in ref
+        if any(op == rp and oe >= rt - 0.3 and ot <= re_ + 0.3 for ot, oe, op in ours)
+    )
     recall = hit / len(ref)
-    # ratcheted 0.40 → 0.70 (VERDICT r2 item 4 asked ≥0.55): the retrained
-    # beat BLSTM moved strum onsets onto the reference's grid; measured
-    # 0.79-0.83 depending on the beat grid (19-20 of 24 reference events)
-    assert recall >= 0.70, recall
+    phit = sum(
+        1
+        for ot, oe, op in ours
+        if any(rp == op and oe >= rt - 0.3 and ot <= re_ + 0.3 for rt, re_, rp in ref)
+    )
+    precision = phit / len(ours)
+    # recall ratchet history: 0.40 → 0.70 (r2, trained BLSTM beat grid) →
+    # 0.80 (r4, faithful strum envelope recovered the 4.87 s/6.82 s attacks)
+    assert recall >= 0.80, (recall, precision)
+    assert precision >= 0.55, (recall, precision)
+    # count-inflation bound: doubling the note count to farm recall fails
+    assert len(ours) <= 2.0 * len(ref), (len(ours), len(ref))
 
 
 @pytest.mark.slow
-def test_golden_harmonic_extraction_parity(golden_available, golden_run):
-    """Our HPSS harmonic intermediate vs the reference's ACTUAL harmonic
-    extraction of the same recording (work/audio_harmonic.wav, written by
-    reference pipeline.py:1669-1672 via librosa.effects.harmonic) — the one
-    real-audio intermediate the reference ships. Compared as log-magnitude
-    spectrogram correlation at 22.05 kHz; the raw mix itself correlates
-    0.836 with the reference harmonic (this clip is mostly harmonic), so
-    the gate also requires our extraction to beat that null baseline.
-    Measured at introduction: ours 0.889."""
+def test_golden_harmonic_extraction_parity(golden_available):
+    """Our HPSS operator vs the reference's ACTUAL harmonic extraction of
+    the same recording (work/audio_harmonic.wav, written by reference
+    pipeline.py:1669-1672 via librosa.effects.harmonic) — the one
+    real-audio intermediate the reference ships. Both operators are applied
+    to the decoded mix here to isolate the OPERATOR (the pipelines select
+    different separation stems first: ours guitar, the reference's run
+    used its 'other' stem — an input confound, not an HPSS difference).
+    Compared as log-magnitude spectrogram correlation at 22.05 kHz; the
+    raw mix itself correlates 0.836 with the reference harmonic (this clip
+    is mostly harmonic), so the gate also requires our extraction to beat
+    that null baseline. Measured at introduction: ours 0.889."""
     import jax
     import jax.numpy as jnp
 
-    from audiotabs_tpu.io import load_wav, resample_poly_host
+    from audiotabs_tpu.io import load_wav, peak_normalize, resample_poly_host
+    from audiotabs_tpu.ops.hpss import hpss
     from audiotabs_tpu.ops.spectral import stft
 
-    _result, job = golden_run
-    ours_path = job / "work" / "audio_harmonic.wav"
-    assert ours_path.exists(), "pipeline did not write work/audio_harmonic.wav"
-    yh_ours, sr_o = load_wav(ours_path)
     yh_ref, sr_r = load_wav(golden_available / "work" / "audio_harmonic.wav")
     y_mix, sr_m = load_wav(golden_available / "work" / "audio_mono_44k.wav")
 
     sr = 22050
-    if sr_o != sr:
-        yh_ours = resample_poly_host(yh_ours, sr_o, sr)
     yh_ref = resample_poly_host(yh_ref, sr_r, sr)
-    y_mix = resample_poly_host(y_mix, sr_m, sr)
+    y_mix = resample_poly_host(peak_normalize(y_mix), sr_m, sr)
+    yh_ours = np.asarray(hpss(jnp.asarray(y_mix))[0])
     n = min(len(yh_ours), len(yh_ref), len(y_mix))
 
     def lmag(x):
