@@ -96,12 +96,20 @@ def decode(params: dict, feats):
     """
     from ..decode.viterbi import viterbi_log_dense
 
+    # Gated (all-zero) frames decode as N regardless of the emission
+    # weights: the fused program zeroes features below the silence gate so
+    # templates see uniform emissions and extend neighbors — but a TRAINED
+    # emission's bigram transition prior can route uniform frames to a
+    # common chord instead (pure silence decoded A:maj when the r4
+    # checkpoint shipped). Silence is N by definition, not by prior.
+    silent = jnp.max(jnp.abs(feats), axis=-1) < 1e-8
     d_in = params["emit_w"].shape[0]
     if d_in != feats.shape[-1] and d_in % feats.shape[-1] == 0:
         feats = context_stack(feats, d_in // feats.shape[-1])
     logits = feats @ params["emit_w"] + params["emit_b"]
     log_em = jax.nn.log_softmax(logits, axis=-1)
     path, _score = viterbi_log_dense(log_em, params["transitions"], params["initial"])
+    path = jnp.where(silent, 0, path)
     conf = jnp.exp(log_em[jnp.arange(log_em.shape[0]), path])
     return path, conf
 

@@ -14,14 +14,18 @@ G/D/Am/C progression with overlap >= 0.86 through the production decode
 (beat-synchronous majority smoothing), (3) ratchet: never overwrite an
 existing checkpoint that scores higher on the golden overlap.
 
-WHY NO CHECKPOINT SHIPS (round-3 finding, measured): every trained
-candidate LOSES to the analytic template emissions on held-out decode
-accuracy — 0.960-0.962 vs template 0.968 for the 12-d emission (from-zero,
-template-init fine-tune, prior/bigram transitions, tau-sharpened, and
-tau×alpha template-blended variants all tried; selection on its own
-30-clip split), 0.960 at ctx=3 (±1-frame context window, 80 clips), and
-0.964 at ctx=3 with 3x the data (240 clips; golden overlap ties the
-template's 0.996 only by blending 75% template). The structural reason:
+WHY NO CHECKPOINT SHIPS (r3 finding, re-measured r4 with stronger
+evidence): on the EASY r3 corpus every trained candidate lost to the
+analytic template emissions on held-out decode accuracy (0.960-0.962 vs
+0.968). On the r4 HARDENED corpus (7th voicings, sus4 resolutions,
+inversions, key modulations — synth.py SYNTH_VERSION 5) the synthetic
+axis flips — trained ctx=3 emissions 0.887 vs template 0.868 — but every
+candidate regresses the real/realistic reference points: golden overlap
+0.996 → 0.932-0.936 unconstrained, and even 85-90% template blends drop
+the committed held-out corpus (tests/data/heldout/) from 0.942 to
+0.899-0.906 mean overlap. Selection is therefore doubly constrained
+(golden parity AND held-out-corpus parity, both template-relative); no
+candidate passed. The structural reason:
 the production feature is the trained DeepChroma DNN's chroma, which is
 itself optimized to emit chord-tone mass, so the chord-template readout is
 already the right decision structure; a logistic regression fit on
@@ -202,6 +206,59 @@ def _ctx_stack_np(ch: np.ndarray, width: int) -> np.ndarray:
     return np.asarray(cc.context_stack(jnp.asarray(ch), width))
 
 
+_HELDOUT_CACHE: dict = {}
+
+
+def _heldout_overlap(params) -> float | None:
+    """Mean chord overlap vs exact ground truth across the committed
+    held-out corpus (tests/data/heldout/ — clips NO trainer draws). The r4
+    unconstrained-on-golden pick kept golden 0.996 but dropped the held-out
+    fingerpick clip 0.991 → 0.923; the selection constraint therefore spans
+    every committed reference point, not just the one real recording."""
+    import json
+    from pathlib import Path
+
+    held = Path(__file__).resolve().parent.parent.parent / "tests" / "data" / "heldout"
+    wavs = sorted(held.glob("heldout_*.wav"))
+    if not wavs:
+        return None
+    from ..chords.segments import frames_to_segments
+    from ..io import load_wav, peak_normalize, resample_poly_host
+    from ..ops.hpss import hpss
+
+    pc_names = ["C", "C#", "D", "D#", "E", "F", "F#", "G", "G#", "A", "A#", "B"]
+    dc_params = dc.load_params()
+    scores = []
+    for wav in wavs:
+        gt = json.loads(wav.with_suffix(".json").read_text())
+        ch = _HELDOUT_CACHE.get(wav.name)
+        if ch is None:
+            y, sr = load_wav(wav)
+            y = resample_poly_host(peak_normalize(y), sr, SR)
+            yh = np.asarray(hpss(jnp.asarray(y))[0])
+            ch = _dnn_chroma(yh, dc_params)
+            _HELDOUT_CACHE[wav.name] = ch
+        path, conf = cc.decode(params, jnp.asarray(ch))
+        times = np.arange(path.shape[0], dtype=np.float32) / FPS
+        segs = frames_to_segments(np.asarray(path), np.asarray(conf), times, cc.LABELS, min_len=0.25)
+
+        def our_label(t):
+            for c in segs:
+                if c.start <= t < c.end:
+                    return c.label
+            return None
+
+        def gt_label(t):
+            for c in gt["chords"]:
+                if c["start"] <= t < c["end"]:
+                    return f'{pc_names[c["root_pc"]]}:{c["quality"]}'
+            return None
+
+        ts = np.arange(gt["chords"][0]["start"], gt["chords"][-1]["end"], 0.05)
+        scores.append(sum(1 for t in ts if our_label(t) == gt_label(t)) / len(ts))
+    return float(np.mean(scores))
+
+
 def train(
     n_clips: int = 60,
     steps: int = 2000,
@@ -298,15 +355,54 @@ def train(
     grid = [
         (tau, alpha)
         for tau in (1.0, 1.5, 2.0, 3.0)
-        for alpha in (0.0, 0.25, 0.5, 0.75)
+        # high-alpha points stay close to the template's behavior on real
+        # recordings while the learned update fixes the hard voicings —
+        # where the golden/held-out-constrained search usually lands
+        for alpha in (0.0, 0.25, 0.5, 0.75, 0.85, 0.9)
     ]
     accs = {ta: _decode_accuracy(cand(*ta), Xs, Ys) for ta in grid}
-    tau_best, alpha_best = max(grid, key=lambda ta: accs[ta])
     print(
         "selection sweep (tau, alpha):",
         {f"{t}/{a}": round(v, 4) for (t, a), v in accs.items()},
         flush=True,
     )
+    # Constrained selection: the save gate requires golden parity (the
+    # production bar), so selection maximizes synthetic accuracy AMONG
+    # candidates that keep it — the unconstrained argmax (r4 hardened
+    # corpus: tau=1.0/alpha=0.25, sel 0.891) beat the template held-out
+    # (0.888 vs 0.868) but dropped golden 0.996 → 0.932 and was unshippable;
+    # the high-alpha blends keep the analytic structure where the one real
+    # recording needs it. Candidates below the template's own selection
+    # accuracy are pruned before paying a golden evaluation.
+    acc_sel_tmpl = _decode_accuracy(cc.template_emission_params(), Xs, Ys)
+    g_tmpl_sel, _ = _golden_gate(cc.template_emission_params())
+    h_tmpl = _heldout_overlap(cc.template_emission_params())
+    ranked = sorted(
+        (ta for ta in grid if accs[ta] >= acc_sel_tmpl),
+        key=lambda ta: accs[ta],
+        reverse=True,
+    )
+    tau_best, alpha_best = max(grid, key=lambda ta: accs[ta])
+    for ta in ranked:
+        if g_tmpl_sel is None:
+            break  # no golden artifacts: plain argmax stands
+        c = cand(*ta)
+        g_c, prog_c = _golden_gate(c)
+        if not (prog_c and g_c is not None and g_c >= g_tmpl_sel - 1e-6):
+            continue
+        h_c = _heldout_overlap(c)
+        if h_tmpl is not None and h_c is not None and h_c < h_tmpl - 0.01:
+            print(f"  tau={ta[0]} alpha={ta[1]}: heldout {h_c:.3f} < template {h_tmpl:.3f}", flush=True)
+            continue
+        tau_best, alpha_best = ta
+        print(
+            f"constrained pick: tau={ta[0]} alpha={ta[1]} "
+            f"(sel {accs[ta]:.4f}, golden {g_c:.3f} >= template {g_tmpl_sel:.3f}, "
+            f"heldout {h_c if h_c is None else round(h_c, 3)} vs template "
+            f"{h_tmpl if h_tmpl is None else round(h_tmpl, 3)})",
+            flush=True,
+        )
+        break
     trained = cand(tau_best, alpha_best)
 
     # ---- held-out eval vs the analytic template emissions ----
@@ -342,7 +438,15 @@ def train(
                 print(f"existing checkpoint golden overlap: {g_old:.3f}", flush=True)
                 ratchet_ok = g_overlap >= g_old - 1e-6
 
-    if acc_tr >= acc_tmpl and golden_ok and ratchet_ok:
+    # held-out corpus save gate (same bar as selection): a candidate must
+    # not regress the committed held-out clips vs the template path
+    heldout_ok = True
+    h_tr = _heldout_overlap(trained)
+    if h_tr is not None and h_tmpl is not None:
+        print(f"heldout overlap: trained {h_tr:.3f} vs template {h_tmpl:.3f}", flush=True)
+        heldout_ok = h_tr >= h_tmpl - 0.01
+
+    if acc_tr >= acc_tmpl and golden_ok and ratchet_ok and heldout_ok:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
         np.savez(out_path, **trained)
         print(f"saved {out_path}", flush=True)

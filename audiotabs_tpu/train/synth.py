@@ -14,7 +14,7 @@ import numpy as np
 # Bump whenever any generator's clip distribution changes: trainer dataset
 # caches under $TMPDIR fold this into their filenames so a generator change
 # invalidates stale cached datasets from earlier rounds automatically.
-SYNTH_VERSION = 4
+SYNTH_VERSION = 6
 
 _CHORDS = {
     "maj": (0, 4, 7),
@@ -78,10 +78,17 @@ def synth_beat_clip(
     # across the clip) — real players drift, and a tracker trained only on
     # metronomic grids over-commits to a single DBN tempo state
     drift = float(rng.uniform(-0.06, 0.06)) if rng.random() < 0.5 else 0.0
-    bl, tcur = [], phase
+    # rubato intro in a third of clips: the first 2-4 beats run slower and
+    # settle into tempo — the golden WAV's regime, where a tracker that
+    # assumes a fixed grid places the opening beats early
+    rubato_beats = int(rng.integers(2, 5)) if rng.random() < 0.33 else 0
+    rubato_stretch = float(rng.uniform(1.1, 1.35))
+    bl, tcur, bi = [], phase, 0
     while tcur < duration_s - 0.05:
         bl.append(tcur)
-        tcur += period * (1.0 + drift * (tcur / duration_s))
+        stretch = rubato_stretch ** max(0, (rubato_beats - bi) / max(rubato_beats, 1)) if rubato_beats else 1.0
+        tcur += period * stretch * (1.0 + drift * (tcur / duration_s))
+        bi += 1
     beats = np.asarray(bl)
     # swing: off-eighths land late (0.5 → up to 0.64 of the beat) in a
     # third of clips
@@ -163,6 +170,19 @@ def synth_beat_clip(
     # root/fifth bass ON the beat, chord-tone arpeggios on the off-eighths,
     # no percussive bursts — beats are marked only by the bass plucks
     if style == "fingerpick":
+        # pickup pluck BEFORE the first beat in half the clips — a real
+        # onset that is NOT a beat (the golden WAV opens exactly this way;
+        # a tracker trained without pickups locks its grid onto the pickup
+        # and places every opening beat early)
+        if rng.uniform() < 0.5 and beats[0] > 0.25:
+            tp = float(beats[0] - rng.uniform(0.3, 0.6) * period)
+            if tp > 0.02:
+                a = int(tp * sr)
+                d = min(int(period * sr * 0.5), n - a)
+                if d > 0:
+                    seg = np.arange(d) / sr
+                    fp = 440.0 * 2 ** ((prog[0] - 69) / 12)
+                    y[a : a + d] += 0.25 * _pluck(fp, seg, rng, decay=2.0 / period)
         for i, b in enumerate(sounded):
             if not keep[i]:
                 continue
@@ -506,13 +526,28 @@ def synth_chord_clip(
     beats_per_chord = int(rng.choice([2, 4]))
     labels: list[tuple[float, float, int, str]] = []
 
+    # key modulation halfway through ~40% of clips (VERDICT r3 item 3:
+    # harder corpus — the decoder must re-anchor, not latch onto one key)
+    modulate_at = len(beats) // 2 if rng.uniform() < 0.4 else None
+
     i = 0
     while i < len(beats):
+        if modulate_at is not None and i >= modulate_at:
+            root = int(rng.integers(40, 56))
+            modulate_at = None
         ch = root + int(rng.choice(scale))
         qual = rng.choice(["maj", "min"])
         start = beats[i]
         end = beats[min(i + beats_per_chord, len(beats) - 1)] if i + beats_per_chord < len(beats) else duration_s
         labels.append((float(start), float(end), ch % 12, str(qual)))
+        # harder voicings, all label-preserving: an added 7th (dom7/maj7 on
+        # maj, b7 on min — the majmin vocabulary folds 7ths into the triad
+        # family, chords/chord_vocabulary semantics), an inversion (3rd or
+        # 5th in the bass), and a sus4 that RESOLVES to the triad within
+        # the span (labeled by the triad it resolves to, as annotators do)
+        seventh = {"maj": int(rng.choice([10, 11])), "min": 10}[qual] if rng.uniform() < 0.35 else None
+        inv_bass = int(rng.choice(list(_CHORDS[qual][1:]))) if rng.uniform() < 0.3 else 0
+        sus_first = qual == "maj" and rng.uniform() < 0.2
         # strum at each beat of the chord span, with an alternating
         # root/fifth bass an octave down (real accompaniment is bass-heavy;
         # chord-tone targets still cover it — root and fifth ARE chord tones)
@@ -523,13 +558,18 @@ def synth_chord_clip(
             if dur <= 0:
                 continue
             seg = np.arange(dur) / sr
-            for k, iv in enumerate(_CHORDS[qual]):
+            ivs = list(_CHORDS[qual])
+            if sus_first and j == i:
+                ivs = [0, 5, 7]  # sus4 voicing on the first beat only
+            if seventh is not None:
+                ivs = ivs + [seventh]
+            for k, iv in enumerate(ivs):
                 f = 440.0 * 2 ** ((ch + iv - 69) / 12)
                 aa = min(a + int(0.004 * k * sr), n - 1)
                 d2 = min(dur, n - aa)
                 y[aa : aa + d2] += 0.25 * _pluck(f, seg[:d2], rng, decay=1.5 / period)
-            bass_p = ch - 12 + (7 if j % 2 == 1 and rng.random() < 0.7 else 0)
-            fb = 440.0 * 2 ** ((bass_p - 69) / 12)
+            bass_iv = inv_bass if j % 2 == 0 else (7 if rng.random() < 0.7 else inv_bass)
+            fb = 440.0 * 2 ** ((ch + bass_iv - 12 - 69) / 12)
             db = min(int(period * sr * 0.95), n - a)
             if db > 0:
                 y[a : a + db] += rng.uniform(0.2, 0.4) * _pluck(fb, seg[:db], rng, decay=1.2 / period)
