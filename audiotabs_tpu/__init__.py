@@ -35,8 +35,14 @@ def _enable_compilation_cache() -> None:
     try:
         import jax
 
+        # keyed per host: XLA:CPU AOT entries are host-machine-specific,
+        # and a dir carried across driver machines (rounds run on different
+        # hosts) makes every compile fail its AOT load with pages of
+        # cpu_aot_loader errors AND blocks writing the fresh executable —
+        # i.e. a permanently cold cache plus log spam
         cache_dir = os.environ.get(
-            "AUDIOTABS_COMPILE_CACHE", os.path.expanduser("~/.cache/audiotabs_tpu/xla")
+            "AUDIOTABS_COMPILE_CACHE",
+            os.path.expanduser(f"~/.cache/audiotabs_tpu/xla_{os.uname().nodename}"),
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -11,15 +11,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-# CPU runs get their own persistent-cache dir: XLA:CPU AOT entries are
-# host-machine-specific, and entries carried over from a different driver
-# host fail to load with pages of cpu_aot_loader errors on every compile
-# (the shared default dir also holds relay-compiled TPU executables worth
-# keeping). Keyed per host so each machine builds its own warm set.
-os.environ.setdefault(
-    "AUDIOTABS_COMPILE_CACHE",
-    os.path.expanduser(f"~/.cache/audiotabs_tpu/xla_cpu_{os.uname().nodename}"),
-)
+# (the persistent compile cache is keyed per host by the package itself —
+# audiotabs_tpu/__init__.py — so stale cross-host XLA:CPU AOT entries can
+# neither spam the log nor block warm starts)
 
 # The axon sitecustomize registers the TPU plugin and force-selects it via
 # jax.config, so the env var alone is not enough — override the config too.

@@ -159,5 +159,9 @@ def test_frontend_served_offline(server):
     code, _ct, js = _request(port, "GET", "/score_renderer.js")
     assert code == 200
     src = js.decode()
-    for sym in ("renderScore", "renderLeadSheet", "AudiotabsScore"):
+    for sym in ("renderScore", "renderLeadSheet", "renderTab", "AudiotabsScore"):
         assert sym in src
+    # the offline Tablature view wiring: a Tab button on the page, the
+    # renderer exported, and the artifact route it fetches
+    assert 'data-view="tab"' in html
+    assert "tab_positions.json" in html
