@@ -111,6 +111,13 @@ class Settings:
     # chunked into dispatches of this many songs per device.
     BATCH_SONGS_PER_DEVICE: int = 4
     PROFILE_DIR: str = ""         # if set, jax profiler traces per stage
+    # fetch fused outputs lazily per key (async copies started up front) so
+    # host post-processing of early outputs (beats, chords) overlaps the
+    # transfer of the big tensors (AMT posteriors, y_harm) instead of one
+    # blocking device_get. Off by default pending an on-relay A/B: each
+    # per-key fetch pays its own relay round-trip, so the win depends on
+    # whether the relay batches a tree fetch (see runtime/pipeline.py).
+    FUSED_SPLIT_FETCH: bool = False
 
     @classmethod
     def from_env(cls) -> "Settings":

@@ -65,6 +65,40 @@ def _write_json(path: Path, obj) -> None:
         json.dump(obj, f)
 
 
+class _SplitFetch:
+    """Lazy per-key host fetch of a fused-output tree (FUSED_SPLIT_FETCH).
+
+    Async device→host copies are started for every leaf at construction;
+    each key then materializes (and caches) on first access, so the tail's
+    host work on early outputs overlaps the in-flight transfers of the
+    rest. Quacks like the dict the tail otherwise gets from device_get."""
+
+    def __init__(self, tree: dict):
+        self._tree = tree
+        self._host: dict = {}
+        for v in tree.values():
+            copy_async = getattr(v, "copy_to_host_async", None)
+            if copy_async is not None:
+                try:
+                    copy_async()
+                except Exception:  # relay backends may not support it
+                    pass
+
+    def __contains__(self, k) -> bool:
+        return k in self._tree
+
+    def __getitem__(self, k):
+        if k not in self._host:
+            self._host[k] = np.asarray(self._tree[k])
+        return self._host[k]
+
+    def get(self, k, default=None):
+        return self[k] if k in self._tree else default
+
+    def keys(self):
+        return self._tree.keys()
+
+
 def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
     job_dir = Path(job_dir)
     input_path = Path(input_path)
@@ -161,18 +195,23 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
             )
             backend = s.CHORD_DETECTION_BACKEND
             with trace_ctx:
-                feats = jax.device_get(
-                    fused_analysis(
-                        jnp.asarray(stem),
-                        sr,
-                        switch_penalty=s.SWITCH_PENALTY,
-                        separate=hpss_fallback,
-                        chord_backend=backend if backend in ("deep", "template") else "both",
-                        true_len=true_len,
-                        y_beat=y_beat_dev,
-                        y_mix=y_mix_dev if y_beat_dev is not None else None,
-                    )
+                out_tree = fused_analysis(
+                    jnp.asarray(stem),
+                    sr,
+                    switch_penalty=s.SWITCH_PENALTY,
+                    separate=hpss_fallback,
+                    chord_backend=backend if backend in ("deep", "template") else "both",
+                    true_len=true_len,
+                    y_beat=y_beat_dev,
+                    y_mix=y_mix_dev if y_beat_dev is not None else None,
                 )
+                # default: ONE blocking device_get (the design invariant —
+                # each blocking relay round-trip costs ~60-80 ms). The
+                # split-fetch knob instead starts async copies for every
+                # output and fetches per key on first use, overlapping the
+                # tail's host work on early outputs (beats, chords) with
+                # the transfer of the big ones (AMT posteriors, y_harm).
+                feats = _SplitFetch(out_tree) if s.FUSED_SPLIT_FETCH else jax.device_get(out_tree)
         except Exception as exc:
             errors.append(f"analysis: {exc}")
             _LOG.warning("fused analysis failed: %s", exc)

@@ -182,18 +182,28 @@ def train(
         print(f"[info] golden chord overlap if CNN fed chroma: {g_overlap:.3f} progression={'ok' if g_prog else 'FAIL'}", flush=True)
 
     g_recall = _golden_note_recall(params)
-    ratchet_ok = True
     if g_recall is not None:
-        print(f"golden note recall: {g_recall:.3f}", flush=True)
-        # ratchet: never overwrite an existing checkpoint that recalls more
-        # of the reference's golden note events
+        print(f"[info] golden accompaniment-CSV recall: {g_recall:.3f}", flush=True)
+
+    # ratchet on the ALIGNED metric: exact-GT note recall/precision over
+    # the held-out corpus must not regress vs the shipped checkpoint
+    # (VERDICT r3 item 1: recall alone lets a hallucinating model through,
+    # so the ratchet is on F = harmonic mean of both)
+    pr = _heldout_note_pr(params)
+    ratchet_ok = True
+    if pr is not None:
+        r_new, p_new = pr
+        f_new = 2 * r_new * p_new / (r_new + p_new + 1e-12)
+        print(f"heldout note recall {r_new:.3f} precision {p_new:.3f} F {f_new:.3f}", flush=True)
         if Path(out_path).exists():
             old = bp.load_params(str(out_path))
             if old is not None:
-                g_old = _golden_note_recall(old)
-                if g_old is not None:
-                    print(f"existing checkpoint golden recall: {g_old:.3f}", flush=True)
-                    ratchet_ok = g_recall >= g_old - 1e-6
+                pr_old = _heldout_note_pr(old)
+                if pr_old is not None:
+                    r_o, p_o = pr_old
+                    f_old = 2 * r_o * p_o / (r_o + p_o + 1e-12)
+                    print(f"existing checkpoint heldout F: {f_old:.3f}", flush=True)
+                    ratchet_ok = f_new >= f_old - 1e-6
 
     if f_cnn > f_sal and ok_tone and ratchet_ok:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
@@ -235,11 +245,52 @@ def _pure_tone_smoke(params) -> bool:
     return bool(est) and est[0].pitch_midi == 60 and est[-1].pitch_midi == 67
 
 
+def _heldout_note_pr(params) -> tuple[float, float] | None:
+    """(recall, precision) of raw decoded CNN events vs the EXACT note
+    ground truth of the committed held-out corpus (tests/data/heldout/),
+    onset ±50 ms, pitch exact — the aligned AMT metric. The golden-CSV
+    recall below compares against the reference's ACCOMPANIMENT artifact
+    (chord tones at strums on an offset-shifted timeline), which is not
+    AMT ground truth: the shipped checkpoint scores 0.125/0.019 on it
+    while scoring ~1.0/1.0 on real note GT — kept only as a legacy
+    real-recording signal, not a gate."""
+    import json
+    from pathlib import Path
+
+    held = Path(__file__).resolve().parent.parent.parent / "tests" / "data" / "heldout"
+    wavs = sorted(held.glob("heldout_*.wav"))
+    if not wavs:
+        return None
+    from ..io import load_wav, peak_normalize, resample_poly_host
+    from ..ops.hpss import hpss
+
+    rs, ps = [], []
+    for wav in wavs:
+        gt = json.loads(wav.with_suffix(".json").read_text())["notes"]
+        y, sr0 = load_wav(wav)
+        y = resample_poly_host(peak_normalize(y), sr0, SR)
+        yh = jnp.asarray(np.asarray(hpss(jnp.asarray(y))[0]))
+        onset, frame = bp.cnn_apply(params, bp.hcqt(yh, SR))[:2]
+        est = decode_events(onset, frame)
+        hit = sum(
+            1 for g in gt
+            if any(e.pitch_midi == g["pitch"] and abs(e.start_time_s - g["start"]) <= 0.05 for e in est)
+        )
+        phit = sum(
+            1 for e in est
+            if any(g["pitch"] == e.pitch_midi and abs(g["start"] - e.start_time_s) <= 0.05 for g in gt)
+        )
+        rs.append(hit / max(len(gt), 1))
+        ps.append(phit / max(len(est), 1))
+    return float(np.mean(rs)), float(np.mean(ps))
+
+
 def _golden_note_recall(params) -> float | None:
     """Recall of the reference's note_events.csv (onset ±50 ms, exact
     pitch) when this CNN's posteriors are decoded on the golden WAV's
-    HPSS-harmonic — the quantitative gate tests/test_golden_parity.py
-    enforces downstream."""
+    HPSS-harmonic. NOTE: that CSV is the reference's accompaniment-mode
+    artifact (chord tones at detected strums, offset-relative timeline) —
+    see _heldout_note_pr for the aligned AMT metric."""
     import csv
 
     from .golden import GOLDEN_DIR as golden

@@ -18,6 +18,19 @@ every candidate's best snapshot LOWERED the ensemble golden F (0.743,
 the synth-to-real domain gap, not ensemble capacity; the next real lever
 is training-data realism, not more members.
 
+r4 growth run ON the more realistic v6 synth (rubato intros settling into
+tempo + pre-beat pickup plucks — the golden WAV's exact failure mode,
+where our opening beats sit ~0.24 s early of madmom's): a pw-9 member
+TIED ensemble golden (0.800 → 0.800) and joined, the pw-30 member was
+skipped (0.800 → 0.743), and the 3-member candidate then failed the val-F
+floor (0.902 vs the DSP flux baseline's 0.952 — the v6 rubato/pickup val
+draw is hard enough that the spectral-flux DSP now beats a 2-3 net BLSTM
+ensemble there). NOT saved; the shipped 2-member checkpoint stands. The
+residual golden gap is concentrated in the rubato intro's beat PHASE
+(activation peaks on the pickup pluck), which more same-recipe members do
+not fix; matching madmom here likely needs its actual 8-net diversity of
+real-data-trained activations.
+
 Save gates: the ENSEMBLE's held-out F must beat the DSP spectral-flux
 baseline, its golden-WAV F (production HPSS-percussive input, madmom's own
 beats as oracle) must beat the DSP baseline AND never regress the existing
