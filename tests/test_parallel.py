@@ -60,6 +60,38 @@ def test_model_axis_htdemucs_forward():
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
 
 
+def test_data_model_2d_composition():
+    """DP x TP compose on ONE mesh: a song batch sharded over "data" runs
+    through the UNCHANGED htdemucs forward whose parameters are tensor-
+    sharded over "model" — GSPMD partitions both axes in one program (the
+    scaling-book recipe: pick a mesh, annotate shardings, let XLA insert
+    the collectives). Output must match the fully-replicated run."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from audiotabs_tpu.models import htdemucs as hd
+    from audiotabs_tpu.parallel import make_mesh
+    from audiotabs_tpu.parallel.model_axis import shard_params_model_axis, sharded_count
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    params = hd.init_params(jax.random.PRNGKey(0), channels=8, bottom=64, t_layers=2)
+    batch = np.asarray(
+        0.1 * np.random.default_rng(1).standard_normal((8, 2, 4096)), np.float32
+    )
+
+    ref = np.asarray(jax.vmap(lambda m: hd.forward(params, m))(jnp.asarray(batch)))
+
+    sharded = shard_params_model_axis(params, mesh)
+    assert sharded_count(sharded) >= 20
+    batch_dev = jax.device_put(
+        jnp.asarray(batch), NamedSharding(mesh, P("data", None, None))
+    )
+    out = np.asarray(
+        jax.jit(jax.vmap(hd.forward, in_axes=(None, 0)))(sharded, batch_dev)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
 def test_graft_entry_contract():
     import sys
 
