@@ -185,27 +185,39 @@ def train(
     if g_recall is not None:
         print(f"[info] golden accompaniment-CSV recall: {g_recall:.3f}", flush=True)
 
-    # ratchet on the ALIGNED metric: exact-GT note recall/precision over
-    # the held-out corpus must not regress vs the shipped checkpoint
-    # (VERDICT r3 item 1: recall alone lets a hallucinating model through,
-    # so the ratchet is on F = harmonic mean of both)
+    # PRIMARY gate on the ALIGNED metric: exact-GT note F over the
+    # committed held-out corpus (VERDICT r3 item 1: recall alone lets a
+    # hallucinating model through, so F = harmonic mean of both). The
+    # candidate must beat the weight-free salience baseline ON THE SAME
+    # GROUND and never regress the shipped checkpoint. The synthetic val-F
+    # comparison stays as the gate only when no held-out corpus exists:
+    # r4 measured a candidate at heldout F 0.687 vs shipped 0.610 that the
+    # val gate rejected by a hair (0.843 vs salience 0.851 on same-family
+    # synthetic clips) — the held-out renders are the metric that matters.
+    def _hf(pr):
+        r, p = pr
+        return 2 * r * p / (r + p + 1e-12)
+
     pr = _heldout_note_pr(params)
     ratchet_ok = True
+    beats_baseline = f_cnn > f_sal
     if pr is not None:
-        r_new, p_new = pr
-        f_new = 2 * r_new * p_new / (r_new + p_new + 1e-12)
-        print(f"heldout note recall {r_new:.3f} precision {p_new:.3f} F {f_new:.3f}", flush=True)
+        f_new = _hf(pr)
+        print(f"heldout note recall {pr[0]:.3f} precision {pr[1]:.3f} F {f_new:.3f}", flush=True)
+        pr_sal = _heldout_note_pr_salience()
+        if pr_sal is not None:
+            print(f"heldout salience baseline F: {_hf(pr_sal):.3f}", flush=True)
+            beats_baseline = f_new > _hf(pr_sal)
         if Path(out_path).exists():
             old = bp.load_params(str(out_path))
             if old is not None:
                 pr_old = _heldout_note_pr(old)
                 if pr_old is not None:
-                    r_o, p_o = pr_old
-                    f_old = 2 * r_o * p_o / (r_o + p_o + 1e-12)
+                    f_old = _hf(pr_old)
                     print(f"existing checkpoint heldout F: {f_old:.3f}", flush=True)
                     ratchet_ok = f_new >= f_old - 1e-6
 
-    if f_cnn > f_sal and ok_tone and ratchet_ok:
+    if beats_baseline and ok_tone and ratchet_ok:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
         np.savez(out_path, **{k: np.asarray(v) for k, v in params.items()})
         # the ratchet loaded the OLD checkpoint through the lru-cached
@@ -271,6 +283,40 @@ def _heldout_note_pr(params) -> tuple[float, float] | None:
         y = resample_poly_host(peak_normalize(y), sr0, SR)
         yh = jnp.asarray(np.asarray(hpss(jnp.asarray(y))[0]))
         onset, frame = bp.cnn_apply(params, bp.hcqt(yh, SR))[:2]
+        est = decode_events(onset, frame)
+        hit = sum(
+            1 for g in gt
+            if any(e.pitch_midi == g["pitch"] and abs(e.start_time_s - g["start"]) <= 0.05 for e in est)
+        )
+        phit = sum(
+            1 for e in est
+            if any(g["pitch"] == e.pitch_midi and abs(g["start"] - e.start_time_s) <= 0.05 for g in gt)
+        )
+        rs.append(hit / max(len(gt), 1))
+        ps.append(phit / max(len(est), 1))
+    return float(np.mean(rs)), float(np.mean(ps))
+
+
+def _heldout_note_pr_salience() -> tuple[float, float] | None:
+    """Held-out (recall, precision) of the weight-free salience baseline —
+    the bar a trained CNN must clear on the same ground."""
+    import json
+    from pathlib import Path
+
+    held = Path(__file__).resolve().parent.parent.parent / "tests" / "data" / "heldout"
+    wavs = sorted(held.glob("heldout_*.wav"))
+    if not wavs:
+        return None
+    from ..io import load_wav, peak_normalize, resample_poly_host
+    from ..ops.hpss import hpss
+
+    rs, ps = [], []
+    for wav in wavs:
+        gt = json.loads(wav.with_suffix(".json").read_text())["notes"]
+        y, sr0 = load_wav(wav)
+        y = resample_poly_host(peak_normalize(y), sr0, SR)
+        yh = jnp.asarray(np.asarray(hpss(jnp.asarray(y))[0]))
+        onset, frame = bp.salience_posteriors(yh, SR)
         est = decode_events(onset, frame)
         hit = sum(
             1 for g in gt
