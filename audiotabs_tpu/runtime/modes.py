@@ -272,9 +272,14 @@ def run_guitar_mode(
     hop_sec: float = 1.5,
     precomputed_content: tuple | None = None,
     strum_envelope: np.ndarray | None = None,
+    y_strum: tuple[np.ndarray, int] | None = None,
 ) -> ModeResult:
     """Hybrid mode: content classification routes each section to melodic
-    transcription or strum detection (pipeline.py:1307-1533)."""
+    transcription or strum detection (pipeline.py:1307-1533). Pass
+    ``y_strum`` = (native_audio, native_sr) to detect strums from the
+    full-band signal (the >11 kHz pick transients shape the median-mel
+    envelope — accompaniment/strum.py); otherwise the 22.05 kHz
+    ``strum_envelope`` slices are used."""
     content = analyze_musical_content(
         y, sr, window_sec=window_sec, hop_sec=hop_sec, precomputed=precomputed_content
     )
@@ -299,8 +304,12 @@ def run_guitar_mode(
         if seg.content_type in ("melodic", "hybrid"):
             note_events.extend(n for n in base_note_events if a <= n.start_time_s < b)
         if seg.content_type in ("chordal", "hybrid"):
-            y_seg = y[int(a * sr) : int(b * sr)]
-            if len(y_seg) > sr * 0.2:
+            if y_strum is not None:
+                y_nat, sr_nat = y_strum
+                y_seg, sr_seg = y_nat[int(a * sr_nat) : int(b * sr_nat)], sr_nat
+            else:
+                y_seg, sr_seg = y[int(a * sr) : int(b * sr)], sr
+            if len(y_seg) > sr_seg * 0.2:
                 bt_seg = None
                 if beat_times is not None and len(beat_times) > 1:
                     bt = np.asarray(beat_times)
@@ -309,11 +318,11 @@ def run_guitar_mode(
                         bt_seg = bt[m] - a
                 try:
                     env_seg = None
-                    if strum_envelope is not None:
+                    if y_strum is None and strum_envelope is not None:
                         env_seg = strum_envelope[int(a * sr) // 512 : int(b * sr) // 512 + 1]
                     onsets = detect_strum_onsets(
                         y_seg,
-                        sr,
+                        sr_seg,
                         beat_times=bt_seg,
                         tempo_bpm=tempo_bpm,
                         min_interval_s=0.12 if seg.content_type == "chordal" else 0.2,

@@ -587,7 +587,7 @@ def _pipeline_tail(
                     keep = starts + sr // 2 <= true_len  # windows inside the true song
                     pre_content = (starts[keep], metrics[keep])
                 strum_env = None
-                if feats is not None and "strum_envelope" in feats:
+                if y_native is None and feats is not None and "strum_envelope" in feats:
                     strum_env = np.asarray(feats["strum_envelope"], dtype=np.float32)
                 mode_result = run_guitar_mode(
                     y_harm, sr, chords, beat_times, tempo_bpm,
@@ -595,6 +595,9 @@ def _pipeline_tail(
                     window_sec=s.CONTENT_ANALYSIS_WINDOW_SEC, hop_sec=s.CONTENT_ANALYSIS_HOP_SEC,
                     precomputed_content=pre_content,
                     strum_envelope=strum_env,
+                    # chordal segments detect strums on the native-rate
+                    # audio (same full-band reasoning as accompaniment)
+                    y_strum=y_native,
                 )
             elif mode == "accompaniment":
                 from ..theory.chord_simplify import simplify_chords_for_accompaniment
