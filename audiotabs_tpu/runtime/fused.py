@@ -204,7 +204,10 @@ def fused_analysis(
     # median-aggregated mel flux; segment-local peak picking runs on host
     from ..accompaniment.strum import _onset_strength_median
 
-    strum_env = _onset_strength_median(y_harm, sr, 512)
+    # computed from the INPUT stem, not the harmonic: the reference feeds
+    # its strum detector y_trans (pipeline.py:1884-1893), and HPSS removes
+    # exactly the broadband attacks the median-mel envelope fires on
+    strum_env = _onset_strength_median(y, sr, 512)
     out["strum_envelope"] = strum_env / (jnp.max(strum_env) + 1e-9)
 
     # 5. content-classifier window metrics (analysis/content_classifier.py),

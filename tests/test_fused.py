@@ -37,8 +37,12 @@ def test_true_len_masks_wrap_padded_chord_tail():
     )
     t_ch = int(true_len / sr * CHROMA_FPS) + 1
     path = np.asarray(out["crf_path"])[:t_ch]
+    # the invariant is no LEAK of the wrap-padded opening chord into the
+    # tail: extending the last real chord or decoding N (gated/zeroed
+    # frames map to N since r4, crf_chords.decode) both satisfy it
     tail_labels = {LABELS[s] for s in path[-5:]}
-    assert tail_labels == {"A:min"}, tail_labels
+    assert tail_labels <= {"A:min", "N"}, tail_labels
+    assert "C:maj" not in tail_labels, tail_labels
     head_labels = {LABELS[s] for s in path[3:20]}
     assert head_labels == {"C:maj"}, head_labels
 
