@@ -441,6 +441,7 @@ def _pipeline_tail(
     from ..theory.chord_simplify import pick_best_beat_times, tempo_from_beat_times
 
     raw_beats = beat_times.copy()
+    tempo_raw_bpm = tempo_from_beat_times(raw_beats)
     with timer("beat_select"):
         try:
             beat_times = pick_best_beat_times(base_events, beat_times, time_signature=time_sig)
@@ -671,6 +672,16 @@ def _pipeline_tail(
                 _LOG.warning("quantization failed: %s", exc)
 
     # ---- 12. debug artifacts (pipeline.py:1929-1991) ----
+    # what drove the beat tracker (reference beat_source semantics): real
+    # separation wires the drums stem (behind the on-device RMS gate with
+    # mix-percussive fallback), the weight-free fallback uses the HPSS
+    # percussive component, otherwise the mix itself
+    if stem_source == "hpss_harmonic":
+        beat_source_name = "hpss_percussive"
+    elif stem_source == "mix":
+        beat_source_name = "mix"
+    else:
+        beat_source_name = "drums"
     with timer("artifacts"):
         _write_json(
             out / "beat_times.json",
@@ -683,6 +694,20 @@ def _pipeline_tail(
                 "offset": float(offset),
                 "stem_source": stem_source,
                 "errors": errors,
+                # reference field names (reference beat_times.json schema:
+                # tempo_raw_bpm, beat_times_s, beat_times_raw_s,
+                # beat_offset_s, beat_source, transcription_source,
+                # transcription_mode, demucs_enabled, demucs_error) so
+                # tooling written against the reference artifact reads ours
+                "tempo_raw_bpm": float(tempo_raw_bpm),
+                "beat_times_s": [float(b) for b in (norm_beats if norm_beats is not None else [])],
+                "beat_times_raw_s": [float(b) for b in (beat_times if beat_times is not None else [])],
+                "beat_offset_s": float(offset),
+                "beat_source": beat_source_name,
+                "transcription_source": stem_source,
+                "transcription_mode": mode,
+                "demucs_enabled": bool(s.ENABLE_DEMUCS),
+                "demucs_error": next((e for e in errors if e.startswith("separation")), None),
             },
         )
         _write_json(

@@ -107,10 +107,12 @@ def test_golden_beat_f_measure(golden_available, golden_run):
     f = beat_f_measure(our_beats, ref_beats, tol=0.07)
     # ratchet history: 0.56 (DSP flux) → 0.71 (trained BLSTM) → 0.743
     # (madmom-parity edge-only threshold recovered the soft 4.87 s beat)
-    # → 0.824 (2-member greedy-ensemble BLSTM, madmom-ensemble style);
-    # the gate protects against regression and ratchets up as the beat
-    # front end improves further
-    assert f >= 0.75, f
+    # → 0.824 (2-member greedy-ensemble BLSTM, madmom-ensemble style;
+    # stable across r3-r4 — gate ratcheted 0.75 → 0.80). The residual gap
+    # to madmom is the rubato-intro beat PHASE (our activation peaks on
+    # the pickup pluck); r4's growth run on rubato/pickup synth did not
+    # move it (train/beat_rnn_train.py docstring records the attempt).
+    assert f >= 0.80, f
 
 
 @pytest.mark.slow

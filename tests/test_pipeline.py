@@ -62,6 +62,15 @@ def test_pipeline_end_to_end(melody_wav, tmp_path, monkeypatch):
     assert (out / "note_events.csv").exists()
     bt = json.loads((out / "beat_times.json").read_text())
     assert "tempo_bpm" in bt and "beat_times" in bt
+    # reference beat_times.json field names are carried alongside ours
+    for ref_field in (
+        "tempo_raw_bpm", "beat_times_s", "beat_times_raw_s", "beat_offset_s",
+        "beat_source", "transcription_source", "transcription_mode",
+        "demucs_enabled", "demucs_error",
+    ):
+        assert ref_field in bt, ref_field
+    assert bt["transcription_mode"] == "notes"
+    assert bt["beat_source"] == "hpss_percussive"
     # separation is never a silent no-op: with ENABLE_DEMUCS on (default)
     # and no htdemucs weights, the HPSS fallback must be active — beats are
     # tracked on the percussive component, transcription on the harmonic
