@@ -35,6 +35,17 @@ def _enable_compilation_cache() -> None:
     try:
         import jax
 
+        # CPU runs (tests/trainers force jax_platforms=cpu before importing
+        # this package) get NO persistent cache: XLA:CPU executable
+        # serialization can abort the whole process for some programs
+        # (jax compilation_cache.put_executable_and_time →
+        # executable.serialize() → SIGABRT, observed on the fused-analysis
+        # program in the server test), and CPU compiles are cheap enough
+        # that the fast tier ran in ~5 min cacheless for three rounds.
+        platforms = str(getattr(jax.config, "jax_platforms", "") or os.environ.get("JAX_PLATFORMS", ""))
+        if platforms.startswith("cpu"):
+            return
+
         # keyed per host: XLA:CPU AOT entries are host-machine-specific,
         # and a dir carried across driver machines (rounds run on different
         # hosts) makes every compile fail its AOT load with pages of
