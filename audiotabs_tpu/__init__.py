@@ -46,14 +46,12 @@ def _enable_compilation_cache() -> None:
         if platforms.startswith("cpu"):
             return
 
-        # keyed per host: XLA:CPU AOT entries are host-machine-specific,
-        # and a dir carried across driver machines (rounds run on different
-        # hosts) makes every compile fail its AOT load with pages of
-        # cpu_aot_loader errors AND blocks writing the fresh executable —
-        # i.e. a permanently cold cache plus log spam
+        # the shared dir holds relay-compiled TPU executables from earlier
+        # rounds (device-keyed, host-independent — warm starts survive
+        # driver-host changes); only CPU entries were host-specific, and
+        # CPU runs no longer cache at all (see above)
         cache_dir = os.environ.get(
-            "AUDIOTABS_COMPILE_CACHE",
-            os.path.expanduser(f"~/.cache/audiotabs_tpu/xla_{os.uname().nodename}"),
+            "AUDIOTABS_COMPILE_CACHE", os.path.expanduser("~/.cache/audiotabs_tpu/xla")
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -11,9 +11,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-# (the persistent compile cache is keyed per host by the package itself —
-# audiotabs_tpu/__init__.py — so stale cross-host XLA:CPU AOT entries can
-# neither spam the log nor block warm starts)
+# (forced-CPU runs get NO persistent compile cache — XLA:CPU
+# executable.serialize() can abort the process; audiotabs_tpu/__init__.py)
 
 # The axon sitecustomize registers the TPU plugin and force-selects it via
 # jax.config, so the env var alone is not enough — override the config too.
