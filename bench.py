@@ -50,9 +50,49 @@ def make_test_audio(duration_s: float = 30.0, sr: int = 22050) -> np.ndarray:
     return (0.9 * y).astype(np.float32)
 
 
+def _device_watchdog(timeout_s: float = 600.0) -> bool:
+    """True iff the device answers a trivial round-trip within timeout_s.
+
+    The axon relay can be down for hours at a stretch (r4: ~10 h outage);
+    without this check a dead relay hangs the whole bench with no output,
+    whereas an explicit JSON error line tells the driver what happened."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            jax.device_get(jnp.ones((8,)) * 2.0)
+            ok.set()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok.is_set()
+
+
 def main() -> int:
     import shutil
     import tempfile
+
+    if not _device_watchdog():
+        print(
+            json.dumps(
+                {
+                    "metric": "audio_seconds_transcribed_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "audio_s/s/chip",
+                    "vs_baseline": 0.0,
+                    "error": "device unavailable: trivial round-trip timed out (relay down?)",
+                }
+            )
+        )
+        return 1
 
     from audiotabs_tpu.io import write_wav
     from audiotabs_tpu.runtime.pipeline import run_pipeline
