@@ -14,7 +14,7 @@ import numpy as np
 # Bump whenever any generator's clip distribution changes: trainer dataset
 # caches under $TMPDIR fold this into their filenames so a generator change
 # invalidates stale cached datasets from earlier rounds automatically.
-SYNTH_VERSION = 6
+SYNTH_VERSION = 7
 
 _CHORDS = {
     "maj": (0, 4, 7),
@@ -90,6 +90,23 @@ def synth_beat_clip(
         tcur += period * stretch * (1.0 + drift * (tcur / duration_s))
         bi += 1
     beats = np.asarray(bl)
+    # LABEL placement under rubato is madmom-style: human annotators (and
+    # madmom's DBN output, which the golden gate scores against) lay a
+    # near-constant grid through an expressive intro — the steady tempo
+    # extrapolated BACK from the first settled beat — rather than tracking
+    # each slowed pluck. The golden WAV's reference beats are exactly this
+    # back-extrapolation (its first three plucks sit 0.13-0.24 s EARLY of
+    # the annotated grid). Sounded events stay on the stretched grid;
+    # training on pluck-placed labels teaches the net to fire on expressive
+    # onsets, which is precisely the production failure being fixed.
+    labels = beats
+    if rubato_beats and len(beats) > rubato_beats + 1:
+        labels = beats.copy()
+        anchor = beats[rubato_beats]
+        step = beats[rubato_beats + 1] - beats[rubato_beats]
+        for i in range(rubato_beats):
+            labels[i] = anchor - (rubato_beats - i) * step
+        labels = labels[labels >= 0.02]
     # swing: off-eighths land late (0.5 → up to 0.64 of the beat) in a
     # third of clips
     swing = float(rng.uniform(0.54, 0.64)) if rng.random() < 0.33 else 0.5
@@ -237,7 +254,7 @@ def synth_beat_clip(
         y[:fade] *= np.linspace(0.15, 1.0, fade)
     y += rng.uniform(0.001, 0.01) * rng.standard_normal(n)
     peak = np.abs(y).max() + 1e-9
-    return (0.9 * y / peak).astype(np.float32), beats.astype(np.float32)
+    return (0.9 * y / peak).astype(np.float32), labels.astype(np.float32)
 
 
 def synth_note_clip(
