@@ -192,7 +192,7 @@ def _flatten(params: dict, prefix: str = "") -> dict:
                 flat[f"{prefix}l{i}_{d}_{k}"] = np.asarray(layer[d][k])
     flat[f"{prefix}out_w"] = np.asarray(params["out_w"])
     flat[f"{prefix}out_b"] = np.asarray(params["out_b"])
-    for k in ("feat_mean", "feat_std"):
+    for k in ("feat_mean", "feat_std", "full_context"):
         if k in params:
             flat[f"{prefix}{k}"] = np.asarray(params[k])
     return flat
@@ -234,7 +234,7 @@ def _unflatten(data, prefix: str = "") -> dict | None:
         "out_w": np.asarray(data[f"{prefix}out_w"]),
         "out_b": np.asarray(data[f"{prefix}out_b"]),
     }
-    for k in ("feat_mean", "feat_std"):
+    for k in ("feat_mean", "feat_std", "full_context"):
         if f"{prefix}{k}" in data.files:
             out[k] = np.asarray(data[f"{prefix}{k}"])
     return out
@@ -337,12 +337,24 @@ def beat_activation(y, sr: int, fps: int = FPS_DEFAULT, params: dict | None = No
     p = params if params is not None else trained_params()
     if p is not None:
         feats = spectral_features(y, sr, fps)
+
+        def _apply(m, f):
+            # a member flagged full_context runs the WHOLE sequence through
+            # one scan (madmom's RNNBeatProcessor semantics): its backward
+            # LSTM carries the locked tempo into quiet/rubato passages and
+            # can place metrical activation where no onset exists — the
+            # mechanism behind the reference's intro beats on the golden
+            # WAV, which windowed inference structurally cannot express
+            if "full_context" in m:
+                return blstm_apply({k: v for k, v in m.items() if k != "full_context"}, f)
+            return blstm_apply_chunked(m, f)
+
         members = [
             {k: v for k, v in p.items() if k != "ensemble"},
             *p.get("ensemble", []),
         ]
         if len(members) == 1:
-            return blstm_apply_chunked(p, feats)
+            return _apply(members[0], feats)
         groups: dict = {}
         for m in members:
             leaves, treedef = jax.tree_util.tree_flatten(m)
@@ -351,9 +363,9 @@ def beat_activation(y, sr: int, fps: int = FPS_DEFAULT, params: dict | None = No
         acts = []
         for group in groups.values():
             if len(group) == 1:
-                acts.append(blstm_apply_chunked(group[0], feats)[None])
+                acts.append(_apply(group[0], feats)[None])
             else:
                 stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
-                acts.append(jax.vmap(lambda m: blstm_apply_chunked(m, feats))(stacked))
+                acts.append(jax.vmap(lambda m: _apply(m, feats))(stacked))
         return jnp.concatenate(acts, axis=0).mean(axis=0)
     return onset_activation(y, sr, fps)

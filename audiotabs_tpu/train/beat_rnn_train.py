@@ -25,11 +25,29 @@ TIED ensemble golden (0.800 → 0.800) and joined, the pw-30 member was
 skipped (0.800 → 0.743), and the 3-member candidate then failed the val-F
 floor (0.902 vs the DSP flux baseline's 0.952 — the v6 rubato/pickup val
 draw is hard enough that the spectral-flux DSP now beats a 2-3 net BLSTM
-ensemble there). NOT saved; the shipped 2-member checkpoint stands. The
-residual golden gap is concentrated in the rubato intro's beat PHASE
-(activation peaks on the pickup pluck), which more same-recipe members do
-not fix; matching madmom here likely needs its actual 8-net diversity of
-real-data-trained activations.
+ensemble there). NOT saved; the shipped 2-member checkpoint stands.
+
+WHY the golden gap is structural (r4 root-cause, measured): the three
+residual misses are the reference's first three beats (0.79/1.58/2.39 s),
+which sit 0.13-0.24 s AFTER the audio's only intro onsets — spectral flux
+at 0.79 s and 1.58 s is exactly 0.0; madmom's full-sequence BLSTMs project
+metrical activation through that near-silence, and at an intro spacing
+(~0.79 s) SHORTER than the locked tempo (~0.87 s), so even a perfect
+back-extrapolation of the locked grid (labels v7 teach exactly that)
+lands 0.15-0.25 s away from madmom's choices. Measured consequences:
+a DBN transition-lambda sweep (100→500) moves golden F only 0.800→0.824;
+full-context members (--context full, below) reach solo golden 0.743 —
+the best of ANY single member — and tie the ensemble at 0.800; the
+production gate stays 0.824 with the identical three intro misses. On
+audio whose annotation has acoustic support — all three held-out clips —
+the shipped 2-member ensemble scores beat F 1.000. Matching madmom's
+hallucinated intro grid on this one recording would mean training to
+mimic one clip's idiosyncrasy; the 2-member checkpoint stands.
+
+``--context full`` trains members on whole sequences (madmom
+RNNBeatProcessor semantics, served via one lax.scan instead of the
+chunked windows); kept as a diversity axis, but note a full-context
+member makes the fused program's BLSTM stage serial in song length.
 
 Save gates: the ENSEMBLE's held-out F must beat the DSP spectral-flux
 baseline, its golden-WAV F (production HPSS-percussive input, madmom's own
@@ -152,17 +170,29 @@ def _train_member(
     t0: float,
     base_members: tuple = (),
     pos_weight: float = 18.0,
+    full_context: bool = False,
 ):
     """Train ONE BLSTM on its own dataset draw; snapshot-select on the
     golden oracle (late epochs overfit synthetic timbres). When
     ``base_members`` is non-empty the selection is GREEDY-FORWARD: the
     snapshot that maximizes the golden F of the ENSEMBLE (base + this
     member averaged) wins, not the best solo snapshot — a member only
-    earns its place by being complementary. → params."""
+    earns its place by being complementary. → params.
+
+    ``full_context`` trains (and evaluates/serves) on WHOLE sequences
+    instead of 2.56 s windows — madmom's RNNBeatProcessor semantics. Only
+    a full-sequence BLSTM can carry the locked tempo backward through a
+    quiet or rubato intro and emit metrical activation where no onset
+    exists (the golden WAV's reference beats do exactly this: its first
+    two annotated beats have zero spectral flux under them)."""
     X, Y, _ = build_dataset(n_clips, member_seed)
     mean = X.reshape(-1, X.shape[-1]).mean(axis=0)
     std = X.reshape(-1, X.shape[-1]).std(axis=0) + 1e-3
-    Xw, Yw = windows(X, Y)
+    if full_context:
+        Xw, Yw = X, Y  # whole clips; the batch dimension is the clip
+        batch = min(batch, 8)
+    else:
+        Xw, Yw = windows(X, Y)
     print(f"  member seed {member_seed}: windows {Xw.shape} ({time.time()-t0:.0f}s)", flush=True)
 
     rng = jax.random.PRNGKey(member_seed)
@@ -209,9 +239,12 @@ def _train_member(
         # (members often peak within the first few epochs, then drift as
         # they overfit synthetic timbres) and the even-epoch cadence was
         # observed to skip the recovery points
-        vf = eval_f(_act_for(params))
-        gf = golden_eval(_act_for(params)) if golden_eval else None
-        snapshots.append((epoch, vf, gf, jax.tree.map(lambda a: a, params)))
+        snap = jax.tree.map(lambda a: a, params)
+        if full_context:
+            snap["full_context"] = np.float32(1.0)  # serve via blstm_apply
+        vf = eval_f(_act_for(snap))
+        gf = golden_eval(_act_for(snap)) if golden_eval else None
+        snapshots.append((epoch, vf, gf, snap))
         line += f"  val F {vf:.3f}" + (f"  golden F {gf:.3f}" if gf is not None else "")
         print(line + f" ({time.time()-t0:.0f}s)", flush=True)
 
@@ -249,6 +282,7 @@ def train(
     hidden: int = 25,
     ensemble: int = 3,
     include_existing: bool = False,
+    full_context: bool = False,
 ) -> dict:
     t0 = time.time()
     Xv, Yv, val_clips = build_dataset(8, seed + 10_000)
@@ -314,7 +348,7 @@ def train(
         print(f"member {len(members) + 1}/{total} (pos_weight {pw}):", flush=True)
         cand = _train_member(
             seed + 101 * j, n_clips, epochs, batch, hidden, eval_f, golden_eval, t0,
-            base_members=tuple(members), pos_weight=pw,
+            base_members=tuple(members), pos_weight=pw, full_context=full_context,
         )
         # skip-before-append: a candidate whose BEST snapshot still lowers
         # the ensemble's golden F must not join the base — appending it
@@ -404,10 +438,15 @@ def main(argv=None) -> int:
     ap.add_argument("--ensemble", type=int, default=3)
     ap.add_argument("--include-existing", action="store_true",
                     help="seed the ensemble with the shipped checkpoint's member(s)")
+    ap.add_argument("--context", choices=("windowed", "full"), default="windowed",
+                    help="full = train/serve new members on whole sequences "
+                         "(madmom RNNBeatProcessor semantics; lets the BLSTM "
+                         "project the locked tempo through quiet intros)")
     ap.add_argument("--out", default="audiotabs_tpu/weights/beat_rnn.npz")
     args = ap.parse_args(argv)
     res = train(args.clips, args.epochs, args.batch, args.seed, args.out,
-                args.hidden, args.ensemble, include_existing=args.include_existing)
+                args.hidden, args.ensemble, include_existing=args.include_existing,
+                full_context=(args.context == "full"))
     return 0 if res["f_ens"] > 0 else 1
 
 
