@@ -205,6 +205,13 @@ def train(
         r, p = pr
         return 2 * r * p / (r + p + 1e-12)
 
+    pr_raw = _heldout_note_pr(params, production=False)
+    if pr_raw is not None:
+        print(
+            f"[info] heldout RAW-decode-on-mix recall {pr_raw[0]:.3f} "
+            f"precision {pr_raw[1]:.3f} F {_hf(pr_raw):.3f}",
+            flush=True,
+        )
     pr = _heldout_note_pr(params)
     ratchet_ok = True
     beats_baseline = f_cnn > f_sal
@@ -264,15 +271,60 @@ def _pure_tone_smoke(params) -> bool:
     return bool(est) and est[0].pitch_midi == 60 and est[-1].pitch_midi == 67
 
 
-def _heldout_note_pr(params) -> tuple[float, float] | None:
-    """(recall, precision) of raw decoded CNN events vs the EXACT note
-    ground truth of the committed held-out corpus (tests/data/heldout/),
-    onset ±50 ms, pitch exact — the aligned AMT metric. The golden-CSV
-    recall below compares against the reference's ACCOMPANIMENT artifact
-    (chord tones at strums on an offset-shifted timeline), which is not
-    AMT ground truth: the shipped checkpoint scores 0.125/0.019 on it
-    while scoring ~1.0/1.0 on real note GT — kept only as a legacy
-    real-recording signal, not a gate."""
+# separated/HPSS-processed held-out audio, cached per process: the stem is
+# a function of the htdemucs checkpoint only (never of the AMT candidate),
+# so the candidate, the salience baseline, and the ratchet's old checkpoint
+# all decode the identical input
+_HELDOUT_AUDIO: dict[str, np.ndarray] = {}
+
+
+def _heldout_amt_input(wav, band: bool) -> np.ndarray:
+    """The audio the PRODUCTION pipeline feeds the AMT on this clip: for a
+    band mix, the htdemucs guitar stem (runtime/pipeline.py stem-priority
+    selection — reference demucs_sep.py:107-135) then the HPSS harmonic
+    residual of that stem; for solo clips the HPSS harmonic of the mix
+    (separation is near-identity there and the fused program's HPSS split
+    is the weight-free path). Evaluating the raw band MIX instead counts
+    the (correctly transcribed) bass/piano/vocal tracks as false positives
+    against the guitar-only ground truth — a metric artifact r4 measured
+    at precision 0.323 vs 0.84+ on the stem."""
+    from ..io import load_wav, peak_normalize, resample_poly_host
+    from ..ops.hpss import hpss
+
+    key = str(wav)
+    if key not in _HELDOUT_AUDIO:
+        y, sr0 = load_wav(wav)
+        y = resample_poly_host(peak_normalize(y), sr0, SR)
+        if band:
+            from ..models.htdemucs import separate_stems_device
+
+            stems = separate_stems_device(jnp.asarray(y), SR, shifts=1)
+            if stems is not None and "guitar" in stems:
+                y = np.asarray(stems["guitar"], np.float32)
+        _HELDOUT_AUDIO[key] = np.asarray(hpss(jnp.asarray(y))[0])
+    return _HELDOUT_AUDIO[key]
+
+
+def _heldout_note_pr(
+    params, *, production: bool = True
+) -> tuple[float, float] | None:
+    """(recall, precision) of decoded events vs the EXACT note ground truth
+    of the committed held-out corpus (tests/data/heldout/), onset ±50 ms,
+    pitch exact — the aligned AMT metric. `params=None` runs the weight-free
+    salience baseline, the bar a trained CNN must clear on the same ground.
+
+    production=True measures what the product emits: band clips go through
+    htdemucs guitar-stem selection (as runtime/pipeline.py does) and the
+    decoded events pass the pipeline's harmonic-duplicate filter
+    (theory/postprocess.remove_harmonic_duplicates — reference
+    musical_postprocessor.py:64-132). production=False is the raw decoder
+    on the HPSS mix, printed for model-quality visibility.
+
+    The golden-CSV recall below compares against the reference's
+    ACCOMPANIMENT artifact (chord tones at strums on an offset-shifted
+    timeline), which is not AMT ground truth: the shipped checkpoint scores
+    0.125/0.019 on it while scoring ~1.0/1.0 on real note GT — kept only as
+    a legacy real-recording signal, not a gate."""
     import json
     from pathlib import Path
 
@@ -282,15 +334,25 @@ def _heldout_note_pr(params) -> tuple[float, float] | None:
         return None
     from ..io import load_wav, peak_normalize, resample_poly_host
     from ..ops.hpss import hpss
+    from ..theory.postprocess import remove_harmonic_duplicates
 
     rs, ps = [], []
     for wav in wavs:
-        gt = json.loads(wav.with_suffix(".json").read_text())["notes"]
-        y, sr0 = load_wav(wav)
-        y = resample_poly_host(peak_normalize(y), sr0, SR)
-        yh = jnp.asarray(np.asarray(hpss(jnp.asarray(y))[0]))
-        onset, frame = bp.cnn_apply(params, bp.hcqt(yh, SR))[:2]
+        meta = json.loads(wav.with_suffix(".json").read_text())
+        gt = meta["notes"]
+        if production:
+            yh = jnp.asarray(_heldout_amt_input(wav, bool(meta.get("band"))))
+        else:
+            y, sr0 = load_wav(wav)
+            y = resample_poly_host(peak_normalize(y), sr0, SR)
+            yh = jnp.asarray(np.asarray(hpss(jnp.asarray(y))[0]))
+        if params is None:
+            onset, frame = bp.salience_posteriors(yh, SR)
+        else:
+            onset, frame = bp.cnn_apply(params, bp.hcqt(yh, SR))[:2]
         est = decode_events(onset, frame)
+        if production:
+            est = remove_harmonic_duplicates(est)
         hit = sum(
             1 for g in gt
             if any(e.pitch_midi == g["pitch"] and abs(e.start_time_s - g["start"]) <= 0.05 for e in est)
@@ -305,37 +367,7 @@ def _heldout_note_pr(params) -> tuple[float, float] | None:
 
 
 def _heldout_note_pr_salience() -> tuple[float, float] | None:
-    """Held-out (recall, precision) of the weight-free salience baseline —
-    the bar a trained CNN must clear on the same ground."""
-    import json
-    from pathlib import Path
-
-    held = Path(__file__).resolve().parent.parent.parent / "tests" / "data" / "heldout"
-    wavs = sorted(held.glob("heldout_*.wav"))
-    if not wavs:
-        return None
-    from ..io import load_wav, peak_normalize, resample_poly_host
-    from ..ops.hpss import hpss
-
-    rs, ps = [], []
-    for wav in wavs:
-        gt = json.loads(wav.with_suffix(".json").read_text())["notes"]
-        y, sr0 = load_wav(wav)
-        y = resample_poly_host(peak_normalize(y), sr0, SR)
-        yh = jnp.asarray(np.asarray(hpss(jnp.asarray(y))[0]))
-        onset, frame = bp.salience_posteriors(yh, SR)
-        est = decode_events(onset, frame)
-        hit = sum(
-            1 for g in gt
-            if any(e.pitch_midi == g["pitch"] and abs(e.start_time_s - g["start"]) <= 0.05 for e in est)
-        )
-        phit = sum(
-            1 for e in est
-            if any(g["pitch"] == e.pitch_midi and abs(g["start"] - e.start_time_s) <= 0.05 for g in gt)
-        )
-        rs.append(hit / max(len(gt), 1))
-        ps.append(phit / max(len(est), 1))
-    return float(np.mean(rs)), float(np.mean(ps))
+    return _heldout_note_pr(None)
 
 
 def _golden_note_recall(params) -> float | None:

