@@ -217,11 +217,26 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
             _LOG.warning("fused analysis failed: %s", exc)
 
     if feats is not None:
-        y_harm = np.asarray(feats["y_harm"], dtype=np.float32)[:true_len]
-        try:
-            write_wav(work / "audio_harmonic.wav", y_harm, sr)
-        except Exception:
-            pass
+        if isinstance(feats, _SplitFetch):
+            # Defer the biggest transfer: y_harm is only consumed by the
+            # artifact write and by fallback/mode branches that run AFTER
+            # the tail's host work on the small early outputs (beats,
+            # calibration, chord decode) — materializing it eagerly here
+            # would serialize the largest copy in front of all of that.
+            _harm_box: list = []
+
+            def _y_harm_lazy() -> np.ndarray:
+                if not _harm_box:
+                    _harm_box.append(np.asarray(feats["y_harm"], dtype=np.float32)[:true_len])
+                return _harm_box[0]
+
+            y_harm = _y_harm_lazy
+        else:
+            y_harm = np.asarray(feats["y_harm"], dtype=np.float32)[:true_len]
+            try:
+                write_wav(work / "audio_harmonic.wav", y_harm, sr)
+            except Exception:
+                pass
     else:
         with timer("harmonic"):
             try:
@@ -240,7 +255,7 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
         elif getattr(artifact_writer, "error", None) is not None:
             errors.append(f"decode: audio_mono_44k.wav write failed: {artifact_writer.error}")
 
-    return _pipeline_tail(
+    result = _pipeline_tail(
         feats=feats,
         y_harm=y_harm,
         y=y,
@@ -258,6 +273,14 @@ def run_pipeline(job_dir: Path | str, input_path: Path | str) -> JobResult:
         beat_source=beat_source,
         y_native=(y_native, sr_native),
     )
+    if callable(y_harm):
+        # split-fetch mode: the transfer has been in flight since the fused
+        # dispatch; by now it has landed, so the artifact write is cheap
+        try:
+            write_wav(work / "audio_harmonic.wav", y_harm(), sr)
+        except Exception:
+            pass
+    return result
 
 
 def run_pipeline_from_features(
@@ -311,7 +334,7 @@ def run_pipeline_from_features(
 def _pipeline_tail(
     *,
     feats: dict | None,
-    y_harm: np.ndarray,
+    y_harm,  # np.ndarray, or a 0-arg callable for deferred fetch (split-fetch)
     y: np.ndarray | None,
     true_len: int,
     sr: int,
@@ -328,6 +351,8 @@ def _pipeline_tail(
     s = config.settings
 
     import jax.numpy as jnp
+
+    harm = y_harm if callable(y_harm) else (lambda _a=y_harm: _a)
 
     # ---- 4. beat tracking + meter (pipeline.py:1682-1686; beats.py:46-58) ----
     beat_times = np.asarray([], dtype=np.float32)
@@ -385,7 +410,7 @@ def _pipeline_tail(
 
                     chars = analyze_audio_characteristics(
                         work / "audio_mono_44k.wav", cache_dir=work,
-                        audio=y if y is not None else y_harm, audio_sr=sr,
+                        audio=y if y is not None else harm(), audio_sr=sr,
                     )
                 onset_thr, frame_thr = calibrate_thresholds(chars)
                 _write_json(
@@ -428,7 +453,7 @@ def _pipeline_tail(
                 from ..models.basicpitch import transcribe_polyphonic
 
                 base_events = transcribe_polyphonic(
-                    y_harm, sr, onset_threshold=onset_thr, frame_threshold=frame_thr,
+                    harm(), sr, onset_threshold=onset_thr, frame_threshold=frame_thr,
                     min_note_ms=s.BASIC_PITCH_MIN_NOTE_MS, params=bp_params,
                 )
                 base_backend = "basicpitch_jax"
@@ -501,7 +526,7 @@ def _pipeline_tail(
                             np.asarray(feats["crf_conf"])[:t_ch],
                         )
                 chroma, chroma_times, chords = extract_chords_deep(
-                    y_harm,
+                    harm(),
                     sr,
                     min_segment_sec=s.MIN_SEGMENT_SEC,
                     beat_times=raw_beats if raw_beats.size else None,
@@ -512,7 +537,7 @@ def _pipeline_tail(
                 from ..chords import extract_chords
 
                 chroma, chroma_times, chords = extract_chords(
-                    y_harm,
+                    harm(),
                     sr,
                     vocab=s.CHORD_VOCAB,
                     switch_penalty=s.SWITCH_PENALTY,
@@ -591,7 +616,7 @@ def _pipeline_tail(
                 if y_native is None and feats is not None and "strum_envelope" in feats:
                     strum_env = np.asarray(feats["strum_envelope"], dtype=np.float32)
                 mode_result = run_guitar_mode(
-                    y_harm, sr, chords, beat_times, tempo_bpm,
+                    harm(), sr, chords, beat_times, tempo_bpm,
                     base_note_events=base_events, use_flats=use_flats,
                     window_sec=s.CONTENT_ANALYSIS_WINDOW_SEC, hop_sec=s.CONTENT_ANALYSIS_HOP_SEC,
                     precomputed_content=pre_content,
@@ -613,7 +638,7 @@ def _pipeline_tail(
                 else:
                     # batch path: no native-rate copy is kept; reuse the
                     # fused program's 22.05 kHz envelope
-                    y_strum, sr_strum = y_harm, sr
+                    y_strum, sr_strum = harm(), sr
                     strum_env = None
                     if feats is not None and "strum_envelope" in feats:
                         strum_env = np.asarray(feats["strum_envelope"], dtype=np.float32)[

@@ -127,6 +127,33 @@ def test_pipeline_accompaniment_mode(melody_wav, tmp_path, monkeypatch):
     assert len(tab["measures"]) == len(result.score.measures)
 
 
+def test_pipeline_split_fetch_parity(melody_wav, tmp_path, monkeypatch):
+    """FUSED_SPLIT_FETCH=1 overlaps the tail's host work with per-key async
+    transfers and defers the y_harm copy until after the tail — the outputs
+    must be bit-identical to the default single-device_get path, and the
+    deferred audio_harmonic.wav artifact must still be written."""
+    monkeypatch.setenv("TRANSCRIPTION_MODE", "notes")
+    monkeypatch.setenv("PAD_SECONDS_BUCKET", "5")
+    from audiotabs_tpu.config import reload_settings
+    from audiotabs_tpu.runtime.pipeline import run_pipeline
+
+    results = {}
+    for knob in ("0", "1"):
+        monkeypatch.setenv("FUSED_SPLIT_FETCH", knob)
+        reload_settings()
+        job_dir = tmp_path / "jobs" / f"sf{knob}"
+        for sub in ("input", "work", "out"):
+            (job_dir / sub).mkdir(parents=True)
+        run_pipeline(job_dir, melody_wav)
+        assert (job_dir / "work" / "audio_harmonic.wav").exists(), knob
+        results[knob] = {
+            name: (job_dir / "out" / name).read_bytes()
+            for name in ("note_events.csv", "chords.json", "beat_times.json")
+        }
+        results[knob]["audio_harmonic"] = (job_dir / "work" / "audio_harmonic.wav").read_bytes()
+    assert results["0"] == results["1"]
+
+
 def test_pipeline_silence_degrades_gracefully(tmp_path):
     """Pure silence must produce a valid, empty-ish result — no-chord
     segments, no error, a well-formed (if empty) score — exercising every
