@@ -114,9 +114,14 @@ class Settings:
     # fetch fused outputs lazily per key (async copies started up front) so
     # host post-processing of early outputs (beats, chords) overlaps the
     # transfer of the big tensors (AMT posteriors, y_harm) instead of one
-    # blocking device_get. Off by default pending an on-relay A/B: each
-    # per-key fetch pays its own relay round-trip, so the win depends on
-    # whether the relay batches a tree fetch (see runtime/pipeline.py).
+    # blocking device_get. Off by default — measured on-relay A/B (r4,
+    # interleaved min-of-5 on a 30 s song, same compiled program): off
+    # med 0.666 s / min 0.660 s vs on med 0.669 s / min 0.644 s — a wash
+    # inside relay round-trip variance (spread 0.644-0.803 s). The axon
+    # relay does not overlap per-key copy_to_host_async transfers enough
+    # to beat one batched tree fetch, and the tail's host work on early
+    # keys (~tens of ms) is small against the ~60-80 ms RTT floor
+    # (see runtime/pipeline.py _SplitFetch).
     FUSED_SPLIT_FETCH: bool = False
 
     @classmethod
