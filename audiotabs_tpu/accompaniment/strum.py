@@ -31,8 +31,10 @@ def _onset_strength_median(y, sr: int, hop: int = 512, n_fft: int = 2048):
     bands (median stays near zero) — so this envelope fires on strums, not
     plucks. The dB floor and Slaney band placement both materially change
     WHICH attacks peak; deviating from librosa here changed the golden
-    strum set entirely (round-4 measurements)."""
-    S = jnp.abs(stft(y, n_fft=n_fft, hop=hop)) ** 2
+    strum set entirely (round-4 measurements). Center padding is
+    "constant" — librosa 0.10.2's melspectrogram default (the reference
+    pins librosa==0.10.2.post1, backend/requirements.txt)."""
+    S = jnp.abs(stft(y, n_fft=n_fft, hop=hop, pad_mode="constant")) ** 2
     fb = jnp.asarray(mel_filterbank(sr, n_fft, 128, scale="slaney"))
     M = jnp.einsum("mf,...ft->...mt", fb, S)
     db = 10.0 * jnp.log10(jnp.maximum(M, 1e-10))
@@ -50,21 +52,29 @@ def _onset_strength_median_host(y: np.ndarray, sr: int, hop: int = 512, n_fft: i
     content above the 22.05 kHz analysis band carries the pick transients
     this envelope needs, and a one-off host FFT beats a device round-trip.
     Kept numerically in lockstep with the jnp version
-    (tests/test_analysis_modes.py::test_strum_envelope_host_device_parity)."""
+    (tests/test_analysis_modes.py::test_strum_envelope_host_device_parity).
+
+    The arithmetic chain follows librosa 0.10.2 bit-for-bit (the pinned
+    reference version): zero ("constant") center padding, float32 frames ×
+    float64 Hann window → float64 product, rfft cast to complex64, |.|² in
+    float32, float32 mel dot, float32 power_to_db with a whole-array
+    top-80 dB floor, positive lag-1 diff, median over the 128 bands, and a
+    left pad of lag + n_fft//(2·hop) frames."""
     n = len(y)
     if n < n_fft:
         y = np.pad(y, (0, n_fft - n))
     pad = n_fft // 2
-    yp = np.pad(y.astype(np.float32), (pad, pad), mode="reflect")
+    yp = np.pad(y.astype(np.float32), (pad, pad))  # librosa 0.10.x: constant
     n_frames = 1 + (len(yp) - n_fft) // hop
     idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
-    w = np.hanning(n_fft + 1)[:-1].astype(np.float32)
-    frames = yp[idx] * w
-    S = np.abs(np.fft.rfft(frames, axis=-1).T) ** 2  # [F, T]
-    fb = mel_filterbank(sr, n_fft, 128, scale="slaney")
-    M = fb @ S
-    db = 10.0 * np.log10(np.maximum(M, 1e-10))
-    db = np.maximum(db, db.max() - 80.0)
+    w = np.hanning(n_fft + 1)[:-1]  # float64, as librosa leaves get_window
+    frames = yp[idx] * w  # float32 × float64 → float64 (librosa's promotion)
+    spec = np.fft.rfft(frames, axis=-1).T.astype(np.complex64)
+    S = np.abs(spec) ** 2  # float32 [F, T]
+    fb = mel_filterbank(sr, n_fft, 128, scale="slaney")  # float32
+    M = fb @ S  # float32
+    db = (10.0 * np.log10(np.maximum(M, np.float32(1e-10)))).astype(np.float32)
+    db = np.maximum(db, db.max() - np.float32(80.0))
     diff = np.maximum(0.0, db[:, 1:] - db[:, :-1])
     flux = np.median(diff, axis=0)
     shift = 1 + n_fft // (2 * hop)
@@ -119,30 +129,38 @@ def quantize_onsets(
 
 
 def _peak_pick_np(env: np.ndarray, delta: float, sr: int, hop: int = 512) -> np.ndarray:
-    """librosa.onset.onset_detect's peak picker at this sr/hop (host numpy;
-    tiny arrays — a device round-trip would cost more than the compute):
+    """librosa.util.peak_pick at onset_detect's operating point, exactly
+    (librosa 0.10.2, the reference's pinned version; host numpy — tiny
+    arrays, a device round-trip would cost more than the compute):
     pre_max/post_max = 0.03 s/0 s (+1), pre_avg/post_avg = 0.1 s, wait =
-    0.03 s — the window sizes shape WHICH attacks survive, so they track
-    the reference's operating point exactly (strum.py:118-123)."""
-    T = len(env)
+    0.03 s (reference strum.py:118-123). The moving max/mean use librosa's
+    scipy filters verbatim — maximum_filter1d(mode="constant") and
+    uniform_filter1d(mode="nearest") — whose EDGE semantics (edge-value
+    replication in the mean) differ from a naive clipped-window mean for
+    the first/last ~0.1 s; peaks there decide whether an intro strum
+    survives."""
+    import scipy.ndimage as ndi
+
+    x = np.asarray(env, dtype=np.float32)
+    T = len(x)
     if T == 0:
         return np.zeros(0, dtype=np.int64)
-    pre_max = int(0.03 * sr // hop)
-    post_max = int(0.0 * sr // hop) + 1
-    pre_avg = int(0.1 * sr // hop)
-    post_avg = int(0.1 * sr // hop) + 1
-    wait = int(0.03 * sr // hop)
-    frames = []
-    last = -wait - 1
-    for t in range(T):
-        if env[t] != env[max(0, t - pre_max) : min(T, t + post_max)].max():
-            continue
-        if env[t] < env[max(0, t - pre_avg) : min(T, t + post_avg)].mean() + delta:
-            continue
-        if t - last <= wait:
-            continue
-        frames.append(t)
-        last = t
+    pre_max = int(np.ceil(0.03 * sr // hop))
+    post_max = int(np.ceil(0.00 * sr // hop + 1))
+    pre_avg = int(np.ceil(0.10 * sr // hop))
+    post_avg = int(np.ceil(0.10 * sr // hop + 1))
+    wait = int(np.ceil(0.03 * sr // hop))
+    max_origin = int(np.ceil(0.5 * (pre_max - post_max)))
+    mov_max = ndi.maximum_filter1d(x, pre_max + post_max, mode="constant", origin=max_origin)
+    avg_origin = int(np.ceil(0.5 * (pre_avg - post_avg)))
+    mov_avg = ndi.uniform_filter1d(x, pre_avg + post_avg, mode="nearest", origin=avg_origin)
+    detections = x * (x == mov_max) * (x >= mov_avg + delta)
+    frames: list[int] = []
+    last = -np.inf
+    for i in np.nonzero(detections)[0]:
+        if i > last + wait:
+            frames.append(int(i))
+            last = int(i)
     return np.asarray(frames, dtype=np.int64)
 
 

@@ -61,14 +61,20 @@ def stft(
     win_length: int | None = None,
     center: bool = True,
     window: np.ndarray | None = None,
+    pad_mode: str = "reflect",
 ):
-    """STFT → complex [..., n_fft//2+1, n_frames] (librosa axis order)."""
+    """STFT → complex [..., n_fft//2+1, n_frames] (librosa axis order).
+
+    ``pad_mode`` controls the center padding; librosa 0.10.x defaults to
+    "constant" — consumers that need bit-level librosa parity (the strum
+    onset envelope) pass that explicitly, everything else keeps "reflect"
+    (the trained checkpoints' operating point)."""
     win_length = win_length or n_fft
     w = window if window is not None else hann_window(win_length)
     if win_length < n_fft:
         lpad = (n_fft - win_length) // 2
         w = np.pad(np.asarray(w), (lpad, n_fft - win_length - lpad))
-    frames = frame(x, n_fft, hop, center=center)  # [..., nf, n_fft]
+    frames = frame(x, n_fft, hop, center=center, pad_mode=pad_mode)  # [..., nf, n_fft]
     spec = jnp.fft.rfft(frames * jnp.asarray(w, dtype=frames.dtype), axis=-1)
     return jnp.swapaxes(spec, -1, -2)  # [..., freq, time]
 

@@ -244,7 +244,8 @@ def run_accompaniment_mode(
     segments = assign_shapes(chords)
     events = build_strum_events(onsets, segments, use_flats=use_flats)
     score, pickup, tab_positions = quantize_strum_events(
-        events, beat_times=beat_times, tempo_bpm=tempo_bpm, time_signature=time_signature
+        events, beat_times=beat_times, tempo_bpm=tempo_bpm, time_signature=time_signature,
+        min_grid_q=0.5,  # the reference's accompaniment floor (_ACC_MIN_GRID_Q)
     )
     from ..accompaniment.shapes import shape_to_dict
 

@@ -81,9 +81,14 @@ def simplify_chord_segments(
 def simplify_chords_for_accompaniment(
     chords: list[ChordSegment],
     *,
-    min_duration: float = 1.0,
-    min_confidence: float = 0.03,
+    min_duration: float = 0.6,
+    min_confidence: float = 0.05,
 ) -> list[ChordSegment]:
+    # operating point = the reference's (_ACC_MIN_SEGMENT_SEC 0.6,
+    # _ACC_MIN_CONFIDENCE 0.05, pipeline.py:59-61): at 1.0 s the golden
+    # WAV's 0.6 s N intro was absorbed into the opening G:maj, so the
+    # intro pluck — which the reference leaves silent — emitted a full
+    # G-chord strum (6 false-positive note events, r4's precision residual)
     if not chords:
         return []
     triads = []

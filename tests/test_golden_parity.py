@@ -152,16 +152,23 @@ def test_golden_note_event_coverage(golden_available, golden_run):
     slack), plus a count-inflation bound (VERDICT r3 item 1: recall alone
     let a hallucinating model pass).
 
-    Operating point at the r4 librosa-faithful strum front end (Slaney mel,
-    dB-floored median flux at the native 44.1 kHz rate): recall 1.000
-    (24/24), precision 0.600 (24/40). The precision residual is three
-    onset groups, all chord tones of the agreed progression: one strum at
-    the intro pluck that the reference ALSO detects but renders silent
-    (its trained CRF labels the first 0.8 s N; our analytic CRF reads the
-    pluck as the G it is), and two extra mid-arpeggio attacks its exact
-    librosa envelope doesn't peak on. Precision is gated below measured
-    with margin; 0.70 requires bit-level librosa mel parity, recorded here
-    rather than faked."""
+    Operating point at the r5 bit-faithful strum front end: recall 1.000
+    (24/24), precision 0.706 (24/34). The r4 residual was root-caused by
+    measurement, not the mel envelope: the envelope is now arithmetic-
+    chain-identical to librosa 0.10.2 (constant pad, f32/c64 chain, scipy
+    peak_pick verbatim — accompaniment/strum.py) and the golden onset set
+    did not change, disproving r4's mel-parity hypothesis. The real defect
+    was the accompaniment chord-simplification operating point: at
+    min_duration 1.0 s the 0.6 s N intro was absorbed into the opening
+    G:maj, so the intro pluck — which the reference also detects but
+    leaves silent (its chords.json labels [-0.79, 0.01] N) — emitted a
+    full G-chord strum. At the reference's 0.6 s/_ACC_MIN_* operating
+    point (chord_simplify.py) the intro stays N and silent, matching the
+    reference exactly. The remaining residual is two mid-arpeggio attack
+    groups (3.45 s/6.5 s, all A:min chord tones) whose absence from the
+    reference's set traces to its INPUT — the demucs 'other' stem its run
+    transcribed is not shipped; on the shipped mix our bit-parity envelope
+    reproducibly peaks there (measured this round)."""
     import csv
 
     _result, job = golden_run
@@ -191,7 +198,9 @@ def test_golden_note_event_coverage(golden_available, golden_run):
     # recall ratchet history: 0.40 → 0.70 (r2, trained BLSTM beat grid) →
     # 0.80 (r4, faithful strum envelope recovered the 4.87 s/6.82 s attacks)
     assert recall >= 0.80, (recall, precision)
-    assert precision >= 0.55, (recall, precision)
+    # precision ratchet: 0.55 (r4, measured 0.600) → 0.65 (r5, measured
+    # 0.706 after the N-intro simplification parity fix)
+    assert precision >= 0.65, (recall, precision)
     # count-inflation bound: doubling the note count to farm recall fails
     assert len(ours) <= 2.0 * len(ref), (len(ours), len(ref))
 
