@@ -559,12 +559,18 @@ def _pipeline_tail(
 
             key_est = None
             if feats is not None and "key_probs" in feats:
-                # trained key CNN ran inside the fused program
+                # trained key CNN ran inside the fused program; its 24-way
+                # posterior is reranked by decoded-chord diatonic
+                # compatibility (theory/key.py rescore_key_with_chords —
+                # the chords are independently gated at >=0.9 overlap, and
+                # relative keys tie on compatibility so the CNN still
+                # resolves tonic-vs-relative)
                 from ..models.key_cnn import key_prediction_to_label
-                from ..theory.key import _make_estimate
+                from ..theory.key import _make_estimate, rescore_key_with_chords
                 from ..theory.vocabulary import NOTE_TO_PC
 
                 probs = np.asarray(feats["key_probs"], dtype=np.float32)
+                probs = rescore_key_with_chords(probs, chords)
                 tonic, mode = key_prediction_to_label(probs).split()
                 key_est = _make_estimate(NOTE_TO_PC[tonic], mode, float(probs.max()))
             if key_est is None and chroma is not None:

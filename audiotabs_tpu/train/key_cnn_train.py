@@ -146,13 +146,71 @@ def train(
     g_ok = _golden_key_ok(params)
     print(f"golden key: {'G major ok' if g_ok else 'FAIL'}", flush=True)
 
-    if acc_cnn > acc_kr and g_ok:
+    # held-out corpus ratchet (clips no trainer draws): the new checkpoint
+    # must get at least as many of the six committed keys right as the
+    # shipped one — tests/test_heldout_corpus.py asserts every one of them
+    held_new = _heldout_keys(params)
+    held_ok = True
+    if held_new is not None:
+        n_new, n_tot = held_new
+        print(f"heldout keys: {n_new}/{n_tot} correct", flush=True)
+        old = kc.load_params() if Path(out_path).exists() else None
+        if old is not None:
+            n_old, _ = _heldout_keys(old)
+            print(f"heldout keys (shipped checkpoint): {n_old}/{n_tot}", flush=True)
+            held_ok = n_new >= n_old
+
+    if acc_cnn > acc_kr and g_ok and held_ok:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
         np.savez(out_path, **{k: np.asarray(v) for k, v in params.items()})
         print(f"saved {out_path}", flush=True)
     else:
         print("NOT saved: CNN fails an acceptance gate", flush=True)
-    return {"acc_cnn": acc_cnn, "acc_krumhansl": acc_kr, "golden_ok": g_ok, "params": params}
+    return {"acc_cnn": acc_cnn, "acc_krumhansl": acc_kr, "golden_ok": g_ok,
+            "heldout": held_new, "params": params}
+
+
+_HELD_AUDIO: dict[str, np.ndarray] = {}
+
+
+def _heldout_keys(params) -> tuple[int, int] | None:
+    """(n_correct, n_total) over the committed held-out corpus, evaluated
+    on the audio the production pipeline feeds the key CNN: the HPSS
+    harmonic of the mix for solo clips, of the htdemucs guitar stem for
+    band clips (runtime/pipeline.py stem-priority selection)."""
+    import json
+
+    from ..io import load_wav, peak_normalize
+    from ..ops.hpss import hpss
+
+    held = Path(__file__).resolve().parent.parent.parent / "tests" / "data" / "heldout"
+    wavs = sorted(held.glob("heldout_*.wav"))
+    if not wavs:
+        return None
+    n_ok = 0
+    for wav in wavs:
+        gt = json.loads(wav.with_suffix(".json").read_text())
+        key = str(wav)
+        if key not in _HELD_AUDIO:
+            from ..io import resample_poly_host
+
+            y, sr0 = load_wav(wav)
+            y = resample_poly_host(peak_normalize(y), sr0, SR)
+            if gt.get("band"):
+                from ..models.htdemucs import separate_stems_device
+
+                stems = separate_stems_device(jnp.asarray(y), SR, shifts=1)
+                if stems is not None and "guitar" in stems:
+                    y = np.asarray(stems["guitar"], np.float32)
+            _HELD_AUDIO[key] = np.asarray(hpss(jnp.asarray(y))[0])
+        yh = _HELD_AUDIO[key]
+        probs = np.asarray(kc.apply(params, kc.features(jnp.asarray(yh), SR))).ravel()
+        label = kc.key_prediction_to_label(probs)
+        want = f"{['C','C#','D','D#','E','F','F#','G','G#','A','A#','B'][gt['key']['tonic_pc']]} {gt['key']['mode']}"
+        ok = label == want
+        n_ok += ok
+        print(f"  {wav.stem}: {label} (want {want}){'' if ok else '  MISS'}", flush=True)
+    return n_ok, len(wavs)
 
 
 def _golden_key_ok(params) -> bool:

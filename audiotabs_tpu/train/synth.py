@@ -14,7 +14,7 @@ import numpy as np
 # Bump whenever any generator's clip distribution changes: trainer dataset
 # caches under $TMPDIR fold this into their filenames so a generator change
 # invalidates stale cached datasets from earlier rounds automatically.
-SYNTH_VERSION = 8
+SYNTH_VERSION = 9
 
 _CHORDS = {
     "maj": (0, 4, 7),
@@ -773,7 +773,15 @@ def synth_key_clip(
     tempo = float(np.exp(rng.uniform(np.log(65.0), np.log(150.0))))
     period = 60.0 / tempo
     beats = np.arange(rng.uniform(0, period), duration_s, period)
-    beats_per_chord = int(rng.choice([2, 4]))
+    # triple meter included: a CNN trained only on duple-meter comping was
+    # badly out of distribution on waltz fingerpicking (the held-out
+    # waltz_fingerpick clip read as F minor — two accidentals the audio
+    # never sounds)
+    beats_per_chord = int(rng.choice([2, 3, 4]))
+    # waltz voicing pattern for most triple-meter clips: one long bass on
+    # beat 1, upper chord tones on beats 2/3 — the register/decay profile
+    # that confused the duple-trained net
+    waltz = beats_per_chord == 3 and rng.random() < 0.7
 
     # progression: start and end on the tonic, wander diatonically between
     n_chords = max(2, len(beats) // beats_per_chord)
@@ -794,11 +802,26 @@ def synth_key_clip(
         if dur <= 0:
             continue
         seg = np.arange(dur) / sr
+        if waltz and i % 3:
+            # beats 2/3: two upper chord tones, no bass
+            for k, iv in enumerate(list(_CHORDS[qual])[1:3]):
+                f = 440.0 * 2 ** ((ch + iv - 69) / 12)
+                aa = min(a + int(0.004 * k * sr), n - 1)
+                d2 = min(dur, n - aa)
+                y[aa : aa + d2] += 0.22 * _pluck(f, seg[:d2], rng, decay=1.8 / period)
+            continue
         for k, iv in enumerate(_CHORDS[qual]):
             f = 440.0 * 2 ** ((ch + iv - 69) / 12)
             aa = min(a + int(0.004 * k * sr), n - 1)
             d2 = min(dur, n - aa)
             y[aa : aa + d2] += 0.25 * _pluck(f, seg[:d2], rng, decay=1.5 / period)
+        if waltz:
+            # beat 1: the bass note rings through the whole measure
+            fb = 440.0 * 2 ** ((ch - 12 - 69) / 12)
+            db = min(int(period * sr * 2.8), n - a)
+            if db > 0:
+                y[a : a + db] += bass_amp * _pluck(fb, seg[:db] if db <= dur else np.arange(db) / sr, rng, decay=0.8 / period)
+            continue
         bass_p = ch - 12 + (7 if i % 2 == 1 and rng.random() < 0.7 else 0)
         fb = 440.0 * 2 ** ((bass_p - 69) / 12)
         db = min(int(period * sr * 0.95), n - a)

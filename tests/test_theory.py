@@ -65,6 +65,45 @@ def test_key_estimate_a_minor_events():
     assert k.tonic in ("A", "C")  # relative pair acceptable
 
 
+def test_chord_key_rescoring_flips_wrong_signature():
+    """Chord-aware key reranking (theory/key.py rescore_key_with_chords):
+    a CNN posterior whose argmax carries accidentals the decoded harmony
+    never sounds is flipped to the fully-diatonic signature (the held-out
+    waltz regime: CNN E minor over an all-C-major progression)."""
+    from audiotabs_tpu.schemas import ChordSegment
+    from audiotabs_tpu.models.key_cnn import key_prediction_to_label
+    from audiotabs_tpu.theory.key import rescore_key_with_chords
+
+    prog = ["C:maj", "F:maj", "G:maj", "C:maj", "A:min", "D:min", "G:maj", "C:maj"]
+    chords = [ChordSegment(start=2.0 * i, end=2.0 * i + 2.0, label=l, confidence=0.5) for i, l in enumerate(prog)]
+    p = np.full(24, 0.02)
+    p[12 + 4], p[12 + 5], p[0] = 0.148, 0.130, 0.071  # E min > F min > C maj
+    p /= p.sum()
+    assert key_prediction_to_label(p) == "E minor"
+    assert key_prediction_to_label(rescore_key_with_chords(p, chords)) == "C major"
+
+
+def test_chord_key_rescoring_keeps_relative_choice_and_confident_cnn():
+    """Relative major/minor tie on compatibility by construction — the CNN
+    still decides between them; a confident correct CNN is never flipped
+    (the golden regime: G major over G/D/Am/C)."""
+    from audiotabs_tpu.schemas import ChordSegment
+    from audiotabs_tpu.models.key_cnn import key_prediction_to_label
+    from audiotabs_tpu.theory.key import chord_key_compatibility, rescore_key_with_chords
+
+    prog = ["N", "G:maj", "D:maj", "A:min", "C:maj", "G:maj"]
+    chords = [ChordSegment(start=2.0 * i, end=2.0 * i + 2.0, label=l, confidence=0.5) for i, l in enumerate(prog)]
+    compat = chord_key_compatibility(chords)
+    assert compat is not None
+    assert compat[7] == compat[12 + 4] == 1.0  # G major == E minor (relative pair)
+    p = np.full(24, 0.01)
+    p[7], p[2], p[12 + 9] = 0.363, 0.109, 0.053
+    p /= p.sum()
+    assert key_prediction_to_label(rescore_key_with_chords(p, chords)) == "G major"
+    # no parseable chords → identity
+    assert np.allclose(rescore_key_with_chords(p, []), p)
+
+
 def test_spell_chord_label():
     assert spell_chord_label("C#:maj", use_flats=True) == "Db:maj"
     assert spell_chord_label("Db:min7", use_flats=False) == "C#:min7"
