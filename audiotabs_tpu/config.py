@@ -58,6 +58,15 @@ class Settings:
     DEMUCS_SHIFTS: int = 1
     DEMUCS_OVERLAP: float = 0.25
     DEMUCS_SEGMENT_SEC: float = 7.8
+    # Run the htdemucs net in bfloat16 on the MXU (STFT/iSTFT, norm stats,
+    # attention softmax, and the OLA recombine stay f32). TPU-only knob —
+    # no reference counterpart. Measured r5 on the relay-attached v5e
+    # (30 s song, shifts=1, min-of-5 warm): f32 0.328 s vs bf16 0.354 s —
+    # a wash; the program is not MXU-bound at this size (stem fidelity is
+    # fine: 27-51 dB SNR vs f32). Default stays f32 for bit-stable golden
+    # parity; the knob remains for larger checkpoints/batches where the
+    # MXU balance differs (models/htdemucs.py forward(compute_dtype=...)).
+    DEMUCS_BF16: bool = False
     TRANSCRIPTION_STEM_PRIORITY: str = "guitar,other,vocals"
 
     # AMT (reference: config.py:26-31)

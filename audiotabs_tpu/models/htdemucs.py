@@ -164,24 +164,35 @@ def _convtr2d_freq(x, w, b, stride):
 
 
 def _group_norm1(x, gamma, beta, eps=1e-5):
-    """GroupNorm(1, C) over [B, C, T]: normalize over (C, T) per sample."""
-    mean = x.mean(axis=(1, 2), keepdims=True)
-    var = x.var(axis=(1, 2), keepdims=True)
-    xn = (x - mean) * jax.lax.rsqrt(var + eps)
-    return xn * gamma[None, :, None] + beta[None, :, None]
+    """GroupNorm(1, C) over [B, C, T]: normalize over (C, T) per sample.
+
+    Statistics always in float32: under the bf16 compute path (DEMUCS_BF16)
+    a bf16 mean over C*T ≈ 10^5 elements loses ~3 decimal digits. At f32
+    input every cast below is the identity, so the f32 path is bit-exact."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=(1, 2), keepdims=True)
+    var = x32.var(axis=(1, 2), keepdims=True)
+    xn = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    g32 = gamma.astype(jnp.float32)
+    b32 = beta.astype(jnp.float32)
+    return (xn * g32[None, :, None] + b32[None, :, None]).astype(x.dtype)
 
 
 def _layer_norm(x, gamma, beta, eps=1e-5):
-    mean = x.mean(-1, keepdims=True)
-    var = x.var(-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32)
+    return (out + beta.astype(jnp.float32)).astype(x.dtype)
 
 
 def _group_norm_tokens(x, gamma, beta, eps=1e-5):
     """torch MyGroupNorm(1, C) on tokens [T, C]: normalize over ALL of (T, C)."""
-    mean = x.mean()
-    var = x.var()
-    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean()
+    var = x32.var()
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32)
+    return (out + beta.astype(jnp.float32)).astype(x.dtype)
 
 
 # ------------------------------------------------------------------ DConv --
@@ -268,8 +279,10 @@ def _mha(p: dict, q_in, kv_in):
     q = (q_in @ p["q_w"] + p["q_b"]).reshape(-1, T_HEADS, hd)
     k = (kv_in @ p["k_w"] + p["k_b"]).reshape(-1, T_HEADS, hd)
     v = (kv_in @ p["v_w"] + p["v_b"]).reshape(-1, T_HEADS, hd)
-    logits = jnp.einsum("qhd,khd->hqk", q, k) / math.sqrt(hd)
-    att = jax.nn.softmax(logits, axis=-1)
+    # softmax always in float32 (bf16 exp/normalize visibly degrades the
+    # attention distribution; identity cast on the f32 path)
+    logits = jnp.einsum("qhd,khd->hqk", q, k).astype(jnp.float32) / math.sqrt(hd)
+    att = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum("hqk,khd->qhd", att, v).reshape(-1, D)
     return out @ p["o_w"] + p["o_b"]
 
@@ -325,12 +338,19 @@ def _ispec(z, length: int):
 # ------------------------------------------------------------- full model --
 
 
-@partial(jax.jit, static_argnames=("n_sources", "audio_channels"))
-def forward(params: dict, mix, n_sources: int = 4, audio_channels: int = 2):
+@partial(jax.jit, static_argnames=("n_sources", "audio_channels", "compute_dtype"))
+def forward(params: dict, mix, n_sources: int = 4, audio_channels: int = 2,
+            compute_dtype=jnp.float32):
     """mix [audio_channels, L] → stems [n_sources, audio_channels, L].
 
     L must be a multiple of ALIGN (=1024). Mirrors torch HTDemucs.forward
     (normalization, branch structure, CaC masking, denormalization).
+
+    ``compute_dtype=jnp.bfloat16`` runs the encoder/transformer/decoder
+    stack in bf16 on the MXU (STFT/iSTFT, normalization statistics,
+    attention softmax, and the final denormalize+combine stay float32).
+    The f32 path is bit-identical to the pre-knob program — every cast is
+    the identity there (golden determinism gates rely on this).
     """
     params = {k: v for k, v in params.items() if k != "meta_segment"}
     S = n_sources
@@ -343,11 +363,15 @@ def forward(params: dict, mix, n_sources: int = 4, audio_channels: int = 2):
     mag = jnp.stack([z.real, z.imag], axis=1).reshape(2 * a_ch, F, T)
     mean = mag.mean()
     std = mag.std(ddof=1)
-    x = (mag - mean) / (1e-5 + std)
+    x = ((mag - mean) / (1e-5 + std)).astype(compute_dtype)
 
     meant = mix.mean()
     stdt = mix.std(ddof=1)
-    xt = ((mix - meant) / (1e-5 + stdt))[None]  # [1, ch, L]
+    xt = (((mix - meant) / (1e-5 + stdt))[None]).astype(compute_dtype)  # [1, ch, L]
+    if compute_dtype != jnp.float32:
+        # cast the whole weight tree once at trace time; XLA folds these
+        # converts into the first consumer of each leaf
+        params = jax.tree.map(lambda a: jnp.asarray(a, compute_dtype), params)
 
     # --- encoders ---
     saved, saved_t = [], []
@@ -369,9 +393,9 @@ def forward(params: dict, mix, n_sources: int = 4, audio_channels: int = 2):
     D = tok_s.shape[-1]
 
     pe2 = create_2d_sin_embedding(D, Fq, Ts)  # [D, F, T]
-    pe2 = jnp.asarray(pe2.transpose(2, 1, 0).reshape(Ts * Fq, D))
+    pe2 = jnp.asarray(pe2.transpose(2, 1, 0).reshape(Ts * Fq, D), dtype=compute_dtype)
     tok_s = _layer_norm(tok_s, params["norm_in_g"], params["norm_in_b"]) + pe2
-    pe1 = jnp.asarray(create_sin_embedding(tok_t.shape[0], D))
+    pe1 = jnp.asarray(create_sin_embedding(tok_t.shape[0], D), dtype=compute_dtype)
     tok_t = _layer_norm(tok_t, params["norm_in_t_g"], params["norm_in_t_b"]) + pe1
 
     for i in range(len(params["tlayers"])):
@@ -396,11 +420,11 @@ def forward(params: dict, mix, n_sources: int = 4, audio_channels: int = 2):
         xt = _dec_time(params["tdecoder"][i], xt, saved_t[DEPTH - 1 - i], last)
 
     # --- combine (torch tail: denorm, CaC → complex, iSTFT, sum) ---
-    x = x.reshape(S, 2 * a_ch, F, T) * std + mean
+    x = x.astype(jnp.float32).reshape(S, 2 * a_ch, F, T) * std + mean
     zout = x.reshape(S, a_ch, 2, F, T)
     z_cplx = zout[:, :, 0] + 1j * zout[:, :, 1]
     wav_spec = _ispec(z_cplx, L)  # [S, ch, L]
-    wav_time = xt[0].reshape(S, a_ch, L) * stdt + meant
+    wav_time = xt[0].astype(jnp.float32).reshape(S, a_ch, L) * stdt + meant
     return wav_spec + wav_time
 
 
@@ -667,9 +691,13 @@ def _up2(x):
 _FWD_CHUNK = 16
 
 
-@partial(jax.jit, static_argnames=("sr", "seg", "stride", "shifts", "n_sources"))
-def _separate_program(params, y, sr: int, seg: int, stride: int, shifts: int, n_sources: int):
-    """y [L] mono at sr (MODEL_SR or MODEL_SR//2) → stems [n_sources, L]."""
+@partial(jax.jit, static_argnames=("sr", "seg", "stride", "shifts", "n_sources", "bf16"))
+def _separate_program(params, y, sr: int, seg: int, stride: int, shifts: int,
+                      n_sources: int, bf16: bool = False):
+    """y [L] mono at sr (MODEL_SR or MODEL_SR//2) → stems [n_sources, L].
+
+    ``bf16=True`` runs the htdemucs net in bfloat16 on the MXU (resampling,
+    windowing, and the overlap-add stay float32) — the DEMUCS_BF16 knob."""
     if sr == MODEL_SR:
         y44 = y
     else:  # exact 2x upsample: zero-stuff + half-band FIR (as a matmul)
@@ -696,18 +724,17 @@ def _separate_program(params, y, sr: int, seg: int, stride: int, shifts: int, n_
     # activation memory. Chunking keeps compile cost and peak memory
     # O(_FWD_CHUNK) regardless of song length while staying ONE dispatch.
     B = batch.shape[0]
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    fwd1 = lambda m: forward(params, m, n_sources=n_sources, compute_dtype=cdt)
     if B > _FWD_CHUNK:
         pad = (-B) % _FWD_CHUNK
         chunks = jnp.pad(batch, ((0, pad), (0, 0), (0, 0))).reshape(
             -1, _FWD_CHUNK, 2, seg
         )
-        stems = jax.lax.map(
-            lambda mb: jax.vmap(lambda m: forward(params, m, n_sources=n_sources))(mb),
-            chunks,
-        )
+        stems = jax.lax.map(lambda mb: jax.vmap(fwd1)(mb), chunks)
         stems = stems.reshape(-1, *stems.shape[2:])[:B]
     else:
-        stems = jax.vmap(lambda m: forward(params, m, n_sources=n_sources))(batch)
+        stems = jax.vmap(fwd1)(batch)
 
     tri = jnp.concatenate(
         [jnp.linspace(0.1, 1.0, seg // 2), jnp.linspace(1.0, 0.1, seg - seg // 2)]
@@ -739,7 +766,8 @@ def device_params(params: dict):
 
 
 def separate_stems_device(
-    y: np.ndarray, sr: int, model_name: str = "htdemucs_6s", shifts: int = 2
+    y: np.ndarray, sr: int, model_name: str = "htdemucs_6s", shifts: int = 2,
+    bf16: bool | None = None,
 ) -> dict | None:
     """Mono y [L] → {stem_name: DEVICE array [L]} via ONE jitted dispatch,
     or None when no weights are loaded. Outputs stay on device so downstream
@@ -751,11 +779,16 @@ def separate_stems_device(
     if y.ndim != 1 or sr not in (MODEL_SR, MODEL_SR // 2):
         host = separate_stems(np.asarray(y), sr, model_name=model_name)
         return None if host is None else {k: jnp.asarray(v) for k, v in host.items()}
+    if bf16 is None:
+        from .. import config
+
+        bf16 = bool(config.settings.DEMUCS_BF16)
     cfg = program_config(params, model_name, list(MODEL_STEMS["htdemucs"]))
     y_dev = y if isinstance(y, jax.Array) else jnp.asarray(np.asarray(y, np.float32))
     out = _separate_program(
         device_params(params), y_dev, sr=sr, seg=cfg["seg"],
         stride=cfg["stride"], shifts=shifts, n_sources=cfg["n_sources"],
+        bf16=bool(bf16),
     )
     return {name: out[i] for i, name in enumerate(cfg["names"])}
 
