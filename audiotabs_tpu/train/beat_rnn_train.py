@@ -39,8 +39,9 @@ a DBN transition-lambda sweep (100→500) moves golden F only 0.800→0.824;
 full-context members (--context full, below) reach solo golden 0.743 —
 the best of ANY single member — and tie the ensemble at 0.800; the
 production gate stays 0.824 with the identical three intro misses. On
-audio whose annotation has acoustic support — all five held-out clips —
-the shipped 2-member ensemble scores beat F 1.000. Matching madmom's
+audio whose annotation has acoustic support — all six held-out clips of
+the r5 regenerated corpus — the shipped 2-member ensemble scores beat F
+0.952–0.970 (mean 0.963, raw mix). Matching madmom's
 hallucinated intro grid on this one recording would mean training to
 mimic one clip's idiosyncrasy; the 2-member checkpoint stands.
 

@@ -116,8 +116,9 @@ def test_golden_beat_f_measure(golden_available, golden_run):
     # shorter than the locked tempo (~0.87 s), so no decode of REAL intro
     # events can match it (transition-lambda 100→500 sweep: 0.800→0.824;
     # full-context members: tie at 0.824 — beat_rnn_train.py docstring).
-    # The same ensemble scores beat F 1.000 on all five held-out clips,
-    # whose annotations have acoustic support (tests/test_heldout_corpus.py).
+    # The same ensemble scores beat F 0.952-0.970 (mean 0.963, r5) on all
+    # six regenerated held-out clips, whose annotations have acoustic
+    # support (tests/test_heldout_corpus.py).
     assert f >= 0.80, f
 
 
